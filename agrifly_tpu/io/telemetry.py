@@ -1,0 +1,152 @@
+"""Telemetry wire codec: 2 packets x 14 uint16 quantized fields.
+
+Mirrors Common/Common/DataTypes/TelemetryPacket.hpp: floats are mapped from
+per-field ranges to [-1,1], then to uint16 via 32768 + 32767*t (0 encodes
+out-of-range and decodes to NaN). Packet 1 carries accel/gyro/motor forces/
+position/battery; packet 2 velocity/attitude(vector part)/debug/panic/
+warnings. Device-side arrays of int32 codes; byte packing for the host
+bridge is in `pack_bytes`.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+PACKET_TYPE_PT1 = 0
+PACKET_TYPE_PT2 = 1
+PACKET_TYPE_GENERIC_FLOAT = 100
+
+# ranges (TelemetryPacket.hpp:80-98)
+RANGE_ACC = (-30.0, 30.0)
+RANGE_GYRO = (-35.0, 35.0)
+RANGE_FORCE = (0.0, 10.0)
+RANGE_BATT = (0.0, 15.0)
+RANGE_POS = (-30.0, 30.0)
+RANGE_VEL = (-30.0, 30.0)
+RANGE_ATT = (-1.0, 1.0)
+RANGE_GENERIC = (-100.0, 100.0)
+
+
+class TelemetryPackets(NamedTuple):
+    """Two wire packets as int arrays (type, packet_number, 14 codes each)."""
+
+    type1: jnp.ndarray
+    type2: jnp.ndarray
+    packet_number: jnp.ndarray
+    data1: jnp.ndarray  # (14,) int32
+    data2: jnp.ndarray  # (14,) int32
+
+
+def encode_ones(t):
+    """[-1,1] float -> uint16 code; out-of-range -> 0 (hpp:55-63)."""
+    t = jnp.asarray(t, jnp.float32)
+    code = (32768.0 + 32767.0 * t).astype(jnp.int32)
+    ok = (t >= -1.0) & (t <= 1.0)
+    return jnp.where(ok, code, 0)
+
+
+def decode_ones(code):
+    """uint16 code -> float in [-1,1]; 0 -> NaN (hpp:66-71)."""
+    val = (code.astype(jnp.float32) - 32768.0) / 32768.0
+    return jnp.where(code == 0, jnp.nan, val)
+
+
+def _to_ones(x, rng):
+    a, b = rng
+    return ((x - a) / (b - a)) * 2.0 - 1.0
+
+
+def _from_ones(t, rng):
+    a, b = rng
+    return ((t + 1.0) / 2.0) * (b - a) + a
+
+
+def encode_from_logic(logic_state) -> tuple:
+    """Build both telemetry packets from a LogicState.
+
+    Returns (packets, new_logic_state) — warnings are cleared after being
+    sent, and the packet counter advances (QuadcopterLogic.cpp:621-679).
+    """
+    from agrifly_tpu.ops import filters
+    from agrifly_tpu.ops import rotation as rot
+
+    s = logic_state
+    acc = filters.lp2_value(s.acc_lp)
+    gyro = filters.lp2_value(s.gyro_lp)
+
+    d1 = jnp.concatenate(
+        [
+            encode_ones(_to_ones(acc, RANGE_ACC)),
+            encode_ones(_to_ones(gyro, RANGE_GYRO)),
+            encode_ones(_to_ones(s.des_motor_forces, RANGE_FORCE)),
+            encode_ones(_to_ones(s.kf.pos, RANGE_POS)),
+            encode_ones(_to_ones(s.batt_voltage, RANGE_BATT))[None],
+        ]
+    ).astype(jnp.int32)
+
+    att_vec = rot.to_vector_part(s.kf.att)
+    d2 = jnp.concatenate(
+        [
+            encode_ones(_to_ones(s.kf.vel, RANGE_VEL)),
+            encode_ones(_to_ones(att_vec, RANGE_ATT)),
+            encode_ones(_to_ones(s.debug, RANGE_GENERIC)),
+            s.panic_reason[None],
+            s.warnings[None],
+        ]
+    ).astype(jnp.int32)
+
+    pkts = TelemetryPackets(
+        type1=jnp.int32(PACKET_TYPE_PT1),
+        type2=jnp.int32(PACKET_TYPE_PT2),
+        packet_number=(s.tel_counter % 256).astype(jnp.int32),
+        data1=d1,
+        data2=d2,
+    )
+    new_state = s._replace(tel_counter=s.tel_counter + 1, warnings=jnp.int32(0))
+    return pkts, new_state
+
+
+class DecodedTelemetry(NamedTuple):
+    accel: jnp.ndarray
+    gyro: jnp.ndarray
+    motor_forces: jnp.ndarray
+    position: jnp.ndarray
+    batt_voltage: jnp.ndarray
+    velocity: jnp.ndarray
+    attitude: jnp.ndarray  # vector part of quaternion
+    debug: jnp.ndarray
+    panic_reason: jnp.ndarray
+    warnings: jnp.ndarray
+
+
+def decode(pkts: TelemetryPackets) -> DecodedTelemetry:
+    d1, d2 = pkts.data1, pkts.data2
+    return DecodedTelemetry(
+        accel=_from_ones(decode_ones(d1[0:3]), RANGE_ACC),
+        gyro=_from_ones(decode_ones(d1[3:6]), RANGE_GYRO),
+        motor_forces=_from_ones(decode_ones(d1[6:10]), RANGE_FORCE),
+        position=_from_ones(decode_ones(d1[10:13]), RANGE_POS),
+        batt_voltage=_from_ones(decode_ones(d1[13]), RANGE_BATT),
+        velocity=_from_ones(decode_ones(d2[0:3]), RANGE_VEL),
+        attitude=_from_ones(decode_ones(d2[3:6]), RANGE_ATT),
+        debug=_from_ones(decode_ones(d2[6:12]), RANGE_GENERIC),
+        panic_reason=d2[12],
+        warnings=d2[13],
+    )
+
+
+def pack_bytes(ptype: int, packet_number: int, data: np.ndarray) -> bytes:
+    """Host-side: pack one packet into the 30-byte wire struct."""
+    out = np.zeros(30, np.uint8)
+    out[0] = ptype
+    out[1] = packet_number
+    out[2:30] = np.asarray(data, np.uint16).view(np.uint8)[: 28]
+    return out.tobytes()
+
+
+def unpack_bytes(raw: bytes):
+    b = np.frombuffer(raw, np.uint8)
+    return int(b[0]), int(b[1]), b[2:30].view(np.uint16).astype(np.int32)

@@ -1,0 +1,202 @@
+"""Fused simulation environment: plant + onboard logic + radio channel +
+offboard control in one jitted step.
+
+This is the TPU-native replacement for the reference's multi-process loop
+(Simulator/Rappids_Simulator/main.cpp:330-760 reduced to its renderer-free
+core): one `step(params, state, cmd)` advances 2 ms of sim time — physics,
+IMU fabrication, onboard logic, delayed radio transport, and the periodic
+offboard control loop — entirely on device. `vmap` over the env axis gives
+batched fleets; `lax.scan` over time gives whole rollouts per jit call.
+
+Periodic subsystems use integer-microsecond accumulators with the
+reference's `> period, then subtract` trigger rule, so cadences match the
+C++ Timer/AdjustTimeBySeconds behavior exactly.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from agrifly_tpu.io import radio
+from agrifly_tpu.models import constants as qconst
+from agrifly_tpu.models import logic as onboard
+from agrifly_tpu.models import plant as plant_mod
+from agrifly_tpu.offboard import controller as offboard_ctrl
+from agrifly_tpu.sim import delayline
+
+
+class EnvParams(NamedTuple):
+    plant: plant_mod.PlantParams
+    logic: onboard.LogicParams
+    ctrl: offboard_ctrl.OffboardCtrlParams
+    dt_us: jnp.ndarray  # int32, physics/onboard period (2000)
+    offboard_period_us: jnp.ndarray  # int32 (10000 = 100 Hz demo)
+    radio_delay_us: jnp.ndarray  # int32 (30000 demo)
+    noise_scale: jnp.ndarray  # f32: 1.0 = reference IMU noise, 0.0 = off
+
+
+class Command(NamedTuple):
+    """Per-step external input: setpoint + disturbances."""
+
+    des_pos: jnp.ndarray  # (3,)
+    des_vel: jnp.ndarray  # (3,)
+    des_acc: jnp.ndarray  # (3,)
+    des_yaw: jnp.ndarray  # scalar
+    ext_force: jnp.ndarray  # (3,) world-frame wind force [N]
+    ext_torque: jnp.ndarray  # (3,) world-frame torque [N m]
+
+
+def hover_command(des_pos=(0.0, 0.0, 1.5)) -> Command:
+    z3 = jnp.zeros(3, jnp.float32)
+    return Command(
+        des_pos=jnp.asarray(des_pos, jnp.float32), des_vel=z3, des_acc=z3,
+        des_yaw=jnp.float32(0.0), ext_force=z3, ext_torque=z3,
+    )
+
+
+class EnvState(NamedTuple):
+    plant: plant_mod.PlantState
+    logic: onboard.LogicState
+    ring: delayline.RadioRing
+    offboard_acc_us: jnp.ndarray  # int32 periodic accumulator
+    step: jnp.ndarray  # int32
+    key: jnp.ndarray  # PRNG key
+    last_cmd_thrust: jnp.ndarray  # f32 (previousThrust in the demo)
+    last_cmd_angvel: jnp.ndarray  # (3,)
+
+
+class StepOutputs(NamedTuple):
+    pos: jnp.ndarray
+    vel: jnp.ndarray
+    att: jnp.ndarray
+    angvel: jnp.ndarray
+    motor_speeds: jnp.ndarray
+    flight_state: jnp.ndarray
+    panic_reason: jnp.ndarray
+    warnings: jnp.ndarray
+
+
+def make_params(
+    vehicle_type: int = qconst.QC_TYPE_CF_MINIQUAD,
+    dt: float = 1.0 / 500.0,
+    offboard_period: float = 1.0 / 100.0,
+    radio_delay: float = 0.03,
+    noise_scale: float = 1.0,
+) -> EnvParams:
+    v = qconst.vehicle_params(vehicle_type)
+    return EnvParams(
+        plant=plant_mod.make_params(v),
+        logic=onboard.make_params(v, onboard_period=dt),
+        ctrl=offboard_ctrl.make_params(v),
+        dt_us=jnp.int32(round(dt * 1e6)),
+        offboard_period_us=jnp.int32(round(offboard_period * 1e6)),
+        radio_delay_us=jnp.int32(round(radio_delay * 1e6)),
+        noise_scale=jnp.float32(noise_scale),
+    )
+
+
+def init_state(params: EnvParams, key, pos=(0.0, 0.0, 0.0)) -> EnvState:
+    return EnvState(
+        plant=plant_mod.init_state(pos=pos),
+        logic=onboard.init_state(params.logic),
+        ring=delayline.init(),
+        offboard_acc_us=jnp.int32(0),
+        step=jnp.int32(0),
+        key=key,
+        last_cmd_thrust=jnp.float32(0.0),
+        last_cmd_angvel=jnp.zeros(3, jnp.float32),
+    )
+
+
+def step(params: EnvParams, s: EnvState, cmd: Command):
+    """Advance one 2 ms tick. Returns (new_state, outputs)."""
+    dt = params.dt_us.astype(jnp.float32) * 1e-6
+
+    # 1. radio delivery (pushed >delay ago becomes visible to the logic now)
+    ring, delivered, mtype, mflags, mfields = delayline.pop_due(
+        s.ring, s.step, params.dt_us, params.radio_delay_us
+    )
+
+    # 2. physics
+    new_plant, acc_imu = plant_mod.step(
+        params.plant, s.plant, s.logic.des_motor_speeds,
+        cmd.ext_force, cmd.ext_torque, dt,
+    )
+
+    # 3. IMU fabrication
+    key, sub = jax.random.split(s.key)
+    gyro_meas, acc_meas = plant_mod.imu_measurements(params.plant, new_plant, acc_imu, sub)
+    gyro_true = params.plant.imu_rot_inv @ new_plant.angvel
+    from agrifly_tpu.ops import rotation as rot
+
+    acc_true = params.plant.imu_rot_inv @ rot.rotate_back(
+        new_plant.att, acc_imu - plant_mod.GRAVITY
+    )
+    gyro_meas = gyro_true + (gyro_meas - gyro_true) * params.noise_scale
+    acc_meas = acc_true + (acc_meas - acc_true) * params.noise_scale
+
+    # 4. onboard logic tick
+    batt_v = params.logic.batt_critical * 1.2  # constant battery sim
+    inputs = onboard.null_inputs()._replace(
+        gyro=gyro_meas, acc=acc_meas, batt_voltage=batt_v,
+        radio_new=delivered, radio_type=mtype, radio_flags=mflags,
+        radio_fields=mfields,
+    )
+    new_logic, _ = onboard.logic_step(params.logic, s.logic, inputs)
+
+    # 5. offboard loop (perfect-state estimator; stage-3 swaps in Mocap/GPS)
+    acc_us = s.offboard_acc_us + params.dt_us
+    fire = acc_us > params.offboard_period_us
+    acc_us = jnp.where(fire, acc_us - params.offboard_period_us, acc_us)
+
+    cmd_angvel, cmd_thrust = offboard_ctrl.run(
+        params.ctrl, new_plant.pos, new_plant.vel, new_plant.att,
+        cmd.des_pos, cmd.des_vel, cmd.des_acc, cmd.des_yaw,
+    )
+    rtype, rflags, rfields = radio.make_rates_command(cmd_thrust, cmd_angvel)
+    ring = delayline.push(ring, rtype, rflags, rfields, s.step, fire)
+
+    last_thrust = jnp.where(fire, cmd_thrust, s.last_cmd_thrust)
+    last_angvel = jnp.where(fire, cmd_angvel, s.last_cmd_angvel)
+
+    new_state = EnvState(
+        plant=new_plant, logic=new_logic, ring=ring,
+        offboard_acc_us=acc_us, step=s.step + 1, key=key,
+        last_cmd_thrust=last_thrust, last_cmd_angvel=last_angvel,
+    )
+    outputs = StepOutputs(
+        pos=new_plant.pos, vel=new_plant.vel, att=new_plant.att,
+        angvel=new_plant.angvel, motor_speeds=new_plant.motor_speeds,
+        flight_state=new_logic.fs, panic_reason=new_logic.panic_reason,
+        warnings=new_logic.warnings,
+    )
+    return new_state, outputs
+
+
+def rollout(params: EnvParams, state: EnvState, cmd: Command, n_steps: int):
+    """Scan `step` over time with a fixed command. Returns (state, traj)."""
+
+    def body(carry, _):
+        new_state, out = step(params, carry, cmd)
+        return new_state, out
+
+    return jax.lax.scan(body, state, None, length=n_steps)
+
+
+def rollout_sampled(params: EnvParams, state: EnvState, cmd: Command,
+                    n_steps: int, sample_every: int):
+    """Rollout keeping every `sample_every`-th output (cheaper traces)."""
+
+    def outer(carry, _):
+        def inner(c, _):
+            ns, _ = step(params, c, cmd)
+            return ns, None
+
+        carry, _ = jax.lax.scan(inner, carry, None, length=sample_every - 1)
+        new_state, out = step(params, carry, cmd)
+        return new_state, out
+
+    return jax.lax.scan(outer, state, None, length=n_steps // sample_every)
