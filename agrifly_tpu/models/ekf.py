@@ -100,12 +100,23 @@ def _gravity_align_correction(att, meas_acc, gain=1.0):
     return rot.qmul(att, rot.from_axis_angle(ax, gain * angle))
 
 
-def predict(s: EkfState, gyro, acc, dt) -> EkfState:
-    """One prediction step; blends the three lifecycle phases with selects."""
+def predict(s: EkfState, gyro, acc, dt, *, noise_std_acc=NOISE_STD_ACC,
+            noise_std_gyro=NOISE_STD_GYRO, init_cov_diag=None,
+            uwb_init_at_reset=False) -> EkfState:
+    """One prediction step; blends the three lifecycle phases with selects.
+
+    The keyword knobs let the offboard GPS-IMU estimator (same structure,
+    double-precision in the reference, different constants, no
+    complementary phase) reuse this kernel.
+    """
     dt = jnp.float32(dt)
 
     # --- phase A: first-ever IMU sample -> reset + gravity-aligned attitude
     sA = _reset(s)
+    if init_cov_diag is not None:
+        sA = sA._replace(cov=jnp.diag(jnp.asarray(init_cov_diag, jnp.float32) ** 2))
+    if uwb_init_at_reset:
+        sA = sA._replace(uwb_init=jnp.bool_(True))
     sA = sA._replace(imu_init=jnp.bool_(True), att=_gravity_align_correction(sA.att, acc))
 
     # --- phase B: complementary attitude until the first UWB fix
@@ -158,9 +169,12 @@ def predict(s: EkfState, gyro, acc, dt) -> EkfState:
         ]
     )
     covC = f @ s.cov @ f.T
-    qdiag = jnp.array(
-        [0.0] * 3 + [NOISE_STD_ACC**2 * dt * dt] * 3 + [NOISE_STD_GYRO**2 * dt * dt] * 3,
-        jnp.float32,
+    qdiag = jnp.concatenate(
+        [
+            jnp.zeros(3, jnp.float32),
+            jnp.full(3, noise_std_acc**2, jnp.float32) * dt * dt,
+            jnp.full(3, noise_std_gyro**2, jnp.float32) * dt * dt,
+        ]
     )
     covC = covC + jnp.diag(qdiag)
     sC = s._replace(

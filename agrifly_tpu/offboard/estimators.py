@@ -1,0 +1,336 @@
+"""Offboard state estimators (ground-station side).
+
+Mocap estimator: jnp rewrite of Components/Components/Offboard/
+MocapStateEstimator.{hpp,cpp}. Position and attitude are decoupled 2x2
+Kalman filters per axis group; between measurements the estimate is
+replayed forward using the *commanded* (acceleration, angular velocity)
+stream delayed by the radio latency (the PredictionPipe, PredictionPipe.hpp
+:33-70), which compensates the control loop's transport delay. Angular
+velocity tracks commands through a first-order model with tau = 0.04 s.
+Measurements are gated at 6 sigma; after 10 consecutive rejections the
+filter force-resets and accepts.
+
+The deque-based pipe becomes a fixed ring of commands with integer-us
+activation times; the variable-length replay loop becomes a fixed sweep
+over the ring slots with masked zero-length segments (every slot either
+contributes its [activation, next-boundary) segment or integrates 0 s).
+Faithfully kept quirks: the process noise enters the 2x2 Q un-squared
+(sigma, not sigma^2 — cpp:208-216), and the attitude transition keeps
+A = [[1, dt], [0, 1]] rather than the first-order-track discretization
+(comment at cpp:211).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from agrifly_tpu.ops import rotation as rot
+
+PIPE_CAPACITY = 16
+MAX_CONSECUTIVE_REJECT = 10
+MEAS_REJECT_DIST = 6.0
+
+# noise defaults (MocapStateEstimator.cpp:23-31)
+MEAS_STD_POS = 0.02
+MEAS_STD_ATT = 5.0 * jnp.pi / 180.0
+PROC_STD_POS = 1.0 * 9.81
+PROC_STD_ATT = 200.0
+TAU_TRACK_ANGVEL = 0.04
+
+
+class PredictionPipe(NamedTuple):
+    """Ring of delayed (acc, angvel, ballistic) commands, ordered by time."""
+
+    active_us: jnp.ndarray  # (K,) int32 activation time, monotone in ring order
+    acc: jnp.ndarray  # (K, 3)
+    angvel: jnp.ndarray  # (K, 3)
+    ballistic: jnp.ndarray  # (K,) bool
+    head: jnp.ndarray  # int32
+    count: jnp.ndarray  # int32
+
+
+def pipe_init() -> PredictionPipe:
+    return PredictionPipe(
+        active_us=jnp.zeros(PIPE_CAPACITY, jnp.int32),
+        acc=jnp.zeros((PIPE_CAPACITY, 3), jnp.float32),
+        angvel=jnp.zeros((PIPE_CAPACITY, 3), jnp.float32),
+        ballistic=jnp.ones(PIPE_CAPACITY, jnp.bool_),
+        head=jnp.int32(0),
+        count=jnp.int32(0),
+    )
+
+
+def pipe_push(p: PredictionPipe, now_us, delay_us, acc, angvel, ballistic, do_push):
+    """AddMessage: activation = now + delay. Oldest entry is evicted if full
+    (the reference deque grows unboundedly until ClearExpiredMessages; a
+    16-deep ring covers > 150 ms of 100 Hz commands, far beyond the replay
+    horizon)."""
+    full = p.count >= PIPE_CAPACITY
+    # evict one from the head if full
+    head = jnp.where(do_push & full, (p.head + 1) % PIPE_CAPACITY, p.head)
+    count = jnp.where(do_push & full, p.count - 1, p.count)
+    slot = (head + count) % PIPE_CAPACITY
+    can = do_push
+    upd = lambda arr, val: jnp.where(can, arr.at[slot].set(val), arr)
+    return PredictionPipe(
+        active_us=upd(p.active_us, now_us + delay_us),
+        acc=upd(p.acc, acc),
+        angvel=upd(p.angvel, angvel),
+        ballistic=upd(p.ballistic, ballistic),
+        head=head,
+        count=count + can.astype(jnp.int32),
+    )
+
+
+def pipe_clear_expired(p: PredictionPipe, t_us):
+    """Drop leading entries whose successor is already active at t_us
+    (ClearExpiredMessages: the newest active message always stays)."""
+
+    def cond(state):
+        head, count = state
+        nxt = p.active_us[(head + 1) % PIPE_CAPACITY]
+        return (count >= 2) & (nxt <= t_us)
+
+    def body(state):
+        head, count = state
+        return (head + 1) % PIPE_CAPACITY, count - 1
+
+    head, count = jax.lax.while_loop(cond, body, (p.head, p.count))
+    return p._replace(head=head, count=count)
+
+
+class MocapEstState(NamedTuple):
+    initialized: jnp.ndarray  # bool
+    pos: jnp.ndarray  # (3,)
+    vel: jnp.ndarray  # (3,)
+    att: jnp.ndarray  # (4,)
+    angvel: jnp.ndarray  # (3,)
+    var_pos: jnp.ndarray  # (2,2)
+    var_att: jnp.ndarray  # (2,2)
+    estimate_us: jnp.ndarray  # int32: time at which the estimate is valid
+    us_since_good_meas: jnp.ndarray  # int32
+    num_rejected: jnp.ndarray  # int32
+    num_rejected_consec: jnp.ndarray  # int32
+    pipe: PredictionPipe
+
+
+def _reset_variance():
+    return (
+        jnp.array([[25.0, 0.0], [0.0, 25.0]], jnp.float32),
+        jnp.array([[1.0, 0.0], [0.0, 400.0]], jnp.float32),
+    )
+
+
+def mocap_init(now_us=0) -> MocapEstState:
+    vp, va = _reset_variance()
+    return MocapEstState(
+        initialized=jnp.bool_(False),
+        pos=jnp.zeros(3, jnp.float32),
+        vel=jnp.zeros(3, jnp.float32),
+        att=rot.identity(),
+        angvel=jnp.zeros(3, jnp.float32),
+        var_pos=vp,
+        var_att=va,
+        estimate_us=jnp.int32(now_us),
+        us_since_good_meas=jnp.int32(0),
+        num_rejected=jnp.int32(0),
+        num_rejected_consec=jnp.int32(0),
+        pipe=pipe_init(),
+    )
+
+
+def _integrate_segment(pos, vel, att, angvel, acc, cmd_angvel, ballistic, dt):
+    """One piecewise-constant-command integration segment (cpp:161-181)."""
+    new_pos = pos + vel * dt + acc * (dt * dt * 0.5)
+    new_vel = vel + acc * dt
+    new_att = rot.qmul(att, rot.from_rotation_vector(angvel * dt))
+    c = jnp.exp(-dt / TAU_TRACK_ANGVEL)
+    c = jnp.where(ballistic, 1.0, c)
+    new_angvel = c * angvel + (1.0 - c) * cmd_angvel
+    return new_pos, new_vel, new_att, new_angvel
+
+
+def _replay(s: MocapEstState, t0_us, t1_us, update_variance):
+    """Integrate the command stream from t0 to t1 (fixed sweep over slots).
+
+    Returns (pos, vel, att, angvel, var_pos, var_att).
+    """
+    pipe = s.pipe
+    pos, vel, att, angvel = s.pos, s.vel, s.att, s.angvel
+    var_pos, var_att = s.var_pos, s.var_att
+
+    # command active at t0: newest entry with active_us <= t0 (+1us epsilon)
+    order = (pipe.head + jnp.arange(PIPE_CAPACITY)) % PIPE_CAPACITY
+    act = jnp.where(
+        jnp.arange(PIPE_CAPACITY) < pipe.count, pipe.active_us[order], jnp.int32(2**30)
+    )
+    accs = pipe.acc[order]
+    angvels = pipe.angvel[order]
+    balls = pipe.ballistic[order]
+
+    is_active0 = act <= t0_us
+    any0 = jnp.any(is_active0)
+    idx0 = jnp.where(any0, jnp.argmax(jnp.where(is_active0, jnp.arange(PIPE_CAPACITY), -1)), 0)
+    cur_acc = jnp.where(any0, accs[idx0], jnp.zeros(3, jnp.float32))
+    cur_angvel = jnp.where(any0, angvels[idx0], jnp.zeros(3, jnp.float32))
+    cur_ball = jnp.where(any0, balls[idx0], jnp.bool_(True))
+
+    def step_var(var_pos, var_att, dt):
+        A = jnp.array([[1.0, 0.0], [0.0, 1.0]], jnp.float32).at[0, 1].set(dt)
+        # NB: reference uses sigma (not sigma^2) in Q — kept bug-compatible
+        qp = jnp.diag(jnp.stack([dt**4 * PROC_STD_POS / 4.0, dt**2 * PROC_STD_POS]))
+        qa = jnp.diag(jnp.stack([dt**4 * PROC_STD_ATT / 4.0, dt**2 * PROC_STD_ATT]))
+        return A @ var_pos @ A.T + qp, A @ var_att @ A.T + qa
+
+    t = jnp.maximum(t0_us, jnp.int32(0))
+    t1 = t1_us
+
+    def seg(carry, i):
+        t, pos, vel, att, angvel, cur, var_pos, var_att = carry
+        cur_acc, cur_angvel, cur_ball = cur
+        boundary = jnp.clip(act[i], t, t1)
+        dt = (boundary - t).astype(jnp.float32) * 1e-6
+        pos, vel, att, angvel = _integrate_segment(
+            pos, vel, att, angvel, cur_acc, cur_angvel, cur_ball, dt
+        )
+        if update_variance:
+            vp2, va2 = step_var(var_pos, var_att, dt)
+            nz = dt > 0
+            var_pos = jnp.where(nz, vp2, var_pos)
+            var_att = jnp.where(nz, va2, var_att)
+        # switch to command i if it activates within (t, t1]
+        switch = (act[i] > t0_us) & (act[i] <= t1)
+        cur_acc = jnp.where(switch, accs[i], cur_acc)
+        cur_angvel = jnp.where(switch, angvels[i], cur_angvel)
+        cur_ball = jnp.where(switch, balls[i], cur_ball)
+        t = boundary
+        return (t, pos, vel, att, angvel, (cur_acc, cur_angvel, cur_ball), var_pos, var_att), None
+
+    carry = (t, pos, vel, att, angvel, (cur_acc, cur_angvel, cur_ball), var_pos, var_att)
+    carry, _ = jax.lax.scan(seg, carry, jnp.arange(PIPE_CAPACITY))
+    t, pos, vel, att, angvel, cur, var_pos, var_att = carry
+    cur_acc, cur_angvel, cur_ball = cur
+
+    # final segment to t1
+    dt = jnp.maximum(t1 - t, 0).astype(jnp.float32) * 1e-6
+    pos, vel, att, angvel = _integrate_segment(
+        pos, vel, att, angvel, cur_acc, cur_angvel, cur_ball, dt
+    )
+    if update_variance:
+        vp2, va2 = step_var(var_pos, var_att, dt)
+        nz = dt > 0
+        var_pos = jnp.where(nz, vp2, var_pos)
+        var_att = jnp.where(nz, va2, var_att)
+    return pos, vel, att, angvel, var_pos, var_att
+
+
+def mocap_set_predicted_values(s: MocapEstState, now_us, delay_us, cmd_angvel,
+                               cmd_acc, do_push=True) -> MocapEstState:
+    pipe = pipe_push(
+        s.pipe, now_us, delay_us, cmd_acc, cmd_angvel, jnp.bool_(False),
+        jnp.bool_(do_push),
+    )
+    return s._replace(pipe=pipe)
+
+
+def mocap_get_prediction(s: MocapEstState, now_us, latency_us):
+    """Forward-simulate the latency: estimate at now + latency (cpp:61-118)."""
+    t1 = now_us + latency_us
+    pos, vel, att, angvel, _, _ = _replay(s, s.estimate_us, t1, update_variance=False)
+    return pos, vel, att, angvel
+
+
+def mocap_update(s: MocapEstState, now_us, meas_pos, meas_att, dt_advance_us) -> MocapEstState:
+    """UpdateWithMeasurement: replay pipe to `now`, 6-sigma gate, 2x2 KF
+    corrections, force-accept+reset after 10 straight rejections.
+
+    dt_advance_us: microseconds since the previous call (advances the
+    "time since good measurement" clock).
+    """
+    # ---------- uninitialized: adopt the measurement ----------
+    vp0, va0 = _reset_variance()
+    s_uninit = s._replace(
+        initialized=jnp.bool_(True),
+        pos=meas_pos, vel=jnp.zeros(3, jnp.float32),
+        att=meas_att, angvel=jnp.zeros(3, jnp.float32),
+        var_pos=vp0, var_att=va0,
+        estimate_us=now_us, us_since_good_meas=jnp.int32(0),
+    )
+
+    # ---------- replay to now ----------
+    pos, vel, att, angvel, var_pos, var_att = _replay(
+        s, s.estimate_us, now_us, update_variance=True
+    )
+
+    innov_pos = var_pos[0, 0] + MEAS_STD_POS**2
+    innov_att = var_att[0, 0] + MEAS_STD_ATT**2
+    dist_pos = jnp.linalg.norm(meas_pos - pos) / jnp.sqrt(3.0 * innov_pos)
+    dist_att = rot.get_angle(rot.qmul(rot.qinv(meas_att), att)) / jnp.sqrt(innov_att)
+    should_reject = (dist_pos > MEAS_REJECT_DIST) | (dist_att > MEAS_REJECT_DIST)
+    force_accept = s.num_rejected_consec >= MAX_CONSECUTIVE_REJECT
+    reject = should_reject & ~force_accept
+
+    # force-accept resets variance (and pos/vel/att via Reset + re-init path);
+    # reference Reset() zeroes the state then the gain update pulls it to the
+    # measurement from zero. Keep that: state zeroed pre-update on force-accept.
+    vp_r, va_r = _reset_variance()
+    pos_u = jnp.where(force_accept, jnp.zeros(3, jnp.float32), pos)
+    vel_u = jnp.where(force_accept, jnp.zeros(3, jnp.float32), vel)
+    att_u = jnp.where(force_accept, rot.identity(), att)
+    angvel_u = jnp.where(force_accept, jnp.zeros(3, jnp.float32), angvel)
+    var_pos_u = jnp.where(force_accept, vp_r, var_pos)
+    var_att_u = jnp.where(force_accept, va_r, var_att)
+    innov_pos = var_pos_u[0, 0] + MEAS_STD_POS**2
+    innov_att = var_att_u[0, 0] + MEAS_STD_ATT**2
+
+    gain_pos = var_pos_u[:, 0] / innov_pos  # (2,)
+    gain_att = var_att_u[:, 0] / innov_att
+
+    err_pos = meas_pos - pos_u
+    new_pos = pos_u + gain_pos[0] * err_pos
+    new_vel = vel_u + gain_pos[1] * err_pos
+
+    err_att = rot.to_rotation_vector(rot.qmul(rot.qinv(att_u), meas_att))
+    new_att = rot.qmul(att_u, rot.from_rotation_vector(gain_att[0] * err_att))
+    new_angvel = angvel_u + gain_att[1] * err_att
+
+    IKH_pos = jnp.eye(2, dtype=jnp.float32) - jnp.outer(gain_pos, jnp.array([1.0, 0.0], jnp.float32))
+    IKH_att = jnp.eye(2, dtype=jnp.float32) - jnp.outer(gain_att, jnp.array([1.0, 0.0], jnp.float32))
+    new_var_pos = IKH_pos @ var_pos_u
+    new_var_att = IKH_att @ var_att_u
+
+    # select accept vs reject branch
+    pick = lambda a, r: jnp.where(reject, r, a)
+    pos_f = pick(new_pos, pos)
+    vel_f = pick(new_vel, vel)
+    att_f = pick(new_att, att)
+    angvel_f = pick(new_angvel, angvel)
+    var_pos_f = pick(new_var_pos, var_pos)
+    var_att_f = pick(new_var_att, var_att)
+    num_rej = s.num_rejected + reject.astype(jnp.int32)
+    num_consec = jnp.where(reject, s.num_rejected_consec + 1, jnp.int32(0))
+    since_good = jnp.where(
+        reject,
+        jnp.minimum(s.us_since_good_meas + dt_advance_us, 2**30).astype(jnp.int32),
+        jnp.int32(0),
+    )
+
+    # symmetrize
+    var_pos_f = 0.5 * (var_pos_f + var_pos_f.T)
+    var_att_f = 0.5 * (var_att_f + var_att_f.T)
+
+    pipe = pipe_clear_expired(s.pipe, now_us)
+    s_init = MocapEstState(
+        initialized=jnp.bool_(True),
+        pos=pos_f, vel=vel_f, att=att_f, angvel=angvel_f,
+        var_pos=var_pos_f, var_att=var_att_f,
+        estimate_us=now_us, us_since_good_meas=since_good,
+        num_rejected=num_rej, num_rejected_consec=num_consec,
+        pipe=pipe,
+    )
+    return jax.tree_util.tree_map(
+        lambda i, u: jnp.where(s.initialized, i, u), s_init, s_uninit
+    )
