@@ -250,6 +250,8 @@ def mocap_update(s: MocapEstState, now_us, meas_pos, meas_att, dt_advance_us) ->
     dt_advance_us: microseconds since the previous call (advances the
     "time since good measurement" clock).
     """
+    meas_pos = jnp.asarray(meas_pos, jnp.float32)
+    meas_att = jnp.asarray(meas_att, jnp.float32)
     # ---------- uninitialized: adopt the measurement ----------
     vp0, va0 = _reset_variance()
     s_uninit = s._replace(
@@ -333,4 +335,282 @@ def mocap_update(s: MocapEstState, now_us, meas_pos, meas_att, dt_advance_us) ->
     )
     return jax.tree_util.tree_map(
         lambda i, u: jnp.where(s.initialized, i, u), s_init, s_uninit
+    )
+
+
+# =============================================================================
+# GPS-IMU estimator (Offboard/GPSIMUStateEstimator.{hpp,cpp})
+# =============================================================================
+#
+# Structurally the onboard EKF driven by IMU Predict() plus a 3-D GPS
+# position update; no complementary-filter phase (full EKF from the second
+# Predict on). Constants: init std 3 m / 3 m/s / 10 deg, accel noise 5,
+# gyro noise 0.1, GPS position noise 0.25 m. A singular or non-finite 3x3
+# innovation covariance bails out by adopting the measurement and resetting
+# the variance (cpp:230-244).
+
+from agrifly_tpu.models import ekf as _ekf
+
+GPSIMU_INIT_STD = (3.0, 3.0, 3.0, 3.0, 3.0, 3.0,
+                   10.0 * jnp.pi / 180.0, 10.0 * jnp.pi / 180.0, 10.0 * jnp.pi / 180.0)
+GPSIMU_NOISE_ACC = 5.0
+GPSIMU_NOISE_GYRO = 0.1
+GPS_MEAS_STD_POS = 0.25
+
+
+def gpsimu_init() -> _ekf.EkfState:
+    s = _ekf.init_state()
+    return s._replace(cov=jnp.diag(jnp.asarray(GPSIMU_INIT_STD, jnp.float32) ** 2))
+
+
+def gpsimu_predict(s: _ekf.EkfState, acc, gyro, dt) -> _ekf.EkfState:
+    return _ekf.predict(
+        s, gyro, acc, dt,
+        noise_std_acc=GPSIMU_NOISE_ACC, noise_std_gyro=GPSIMU_NOISE_GYRO,
+        init_cov_diag=GPSIMU_INIT_STD, uwb_init_at_reset=True,
+    )
+
+
+def gps_position_update(s: _ekf.EkfState, meas_pos, apply,
+                        meas_std=GPS_MEAS_STD_POS,
+                        init_std=GPSIMU_INIT_STD) -> _ekf.EkfState:
+    """3-D position measurement update shared by GPSIMU/GPS estimators.
+
+    H = [I3 0 0]; on singular/non-finite innovation covariance the filter
+    adopts the measurement and resets the variance (reference bailout).
+    """
+    apply = jnp.asarray(apply)
+    meas_pos = jnp.asarray(meas_pos, jnp.float32)
+
+    P = s.cov
+    S = P[0:3, 0:3] + (meas_std**2) * jnp.eye(3, dtype=jnp.float32)
+    det = jnp.linalg.det(S)
+    bad = (jnp.abs(det) < 1e-10) | ~jnp.all(jnp.isfinite(S))
+
+    S_safe = jnp.where(bad, jnp.eye(3, dtype=jnp.float32), S)
+    L = P[:, 0:3] @ jnp.linalg.inv(S_safe)  # (9,3)
+    dx = L @ (meas_pos - s.pos)
+    att_corr = dx[6:9]
+    # (I - L H) P with H = [I3 0 0]:
+    cov_new = P - L @ P[0:3, :]
+    cov_new = 0.5 * (cov_new + cov_new.T)
+
+    s_upd = s._replace(
+        pos=s.pos + dx[0:3],
+        vel=s.vel + dx[3:6],
+        att=rot.qmul(s.att, rot.from_rotation_vector(att_corr)),
+        last_att_corr=att_corr,
+        cov=cov_new,
+        uwb_init=jnp.bool_(True),
+    )
+
+    # singular bailout: adopt measurement, reset variance
+    s_bail = s._replace(
+        pos=meas_pos,
+        vel=jnp.zeros(3, jnp.float32),
+        att=rot.identity(),
+        angvel=jnp.zeros(3, jnp.float32),
+        cov=jnp.diag(jnp.asarray(init_std, jnp.float32) ** 2),
+        last_att_corr=jnp.zeros(3, jnp.float32),
+    )
+
+    # first measurement while uninitialized: adopt it
+    s_first = s_bail._replace(imu_init=jnp.bool_(True), uwb_init=jnp.bool_(True))
+
+    out = jax.tree_util.tree_map(lambda u, b: jnp.where(bad, b, u), s_upd, s_bail)
+    out = jax.tree_util.tree_map(lambda o, f: jnp.where(s.imu_init, o, f), out, s_first)
+    return jax.tree_util.tree_map(lambda o, old: jnp.where(apply, o, old), out, s)
+
+
+# =============================================================================
+# GPS estimator (Offboard/GPSStateEstimator.{hpp,cpp})
+# =============================================================================
+#
+# 9-state KF driven by the *commanded* accelerations from the prediction
+# pipe (no IMU): replay segments propagate both the mean and the full 9x9
+# covariance using the attitude-correction Jacobian evaluated at the
+# nominal body-frame proper acceleration (cpp:146-270); position-only 3-D
+# update with the same singular bailout. No Mahalanobis gating.
+
+GPS_INIT_STD = (0.5, 0.5, 0.5, 0.2, 0.2, 0.2,
+                5.0 * jnp.pi / 180.0, 5.0 * jnp.pi / 180.0, 5.0 * jnp.pi / 180.0)
+GPS_PROC_STD_ACC = 1.06
+GPS_PROC_STD_ANGVEL = 0.1
+
+
+class GpsEstState(NamedTuple):
+    initialized: jnp.ndarray
+    pos: jnp.ndarray
+    vel: jnp.ndarray
+    att: jnp.ndarray
+    angvel: jnp.ndarray
+    cov: jnp.ndarray  # (9,9)
+    last_att_corr: jnp.ndarray
+    estimate_us: jnp.ndarray
+    us_since_good_meas: jnp.ndarray
+    pipe: PredictionPipe
+
+
+def gps_init(now_us=0) -> GpsEstState:
+    return GpsEstState(
+        initialized=jnp.bool_(False),
+        pos=jnp.zeros(3, jnp.float32),
+        vel=jnp.zeros(3, jnp.float32),
+        att=rot.identity(),
+        angvel=jnp.zeros(3, jnp.float32),
+        cov=jnp.diag(jnp.asarray(GPS_INIT_STD, jnp.float32) ** 2),
+        last_att_corr=jnp.zeros(3, jnp.float32),
+        estimate_us=jnp.int32(now_us),
+        us_since_good_meas=jnp.int32(0),
+        pipe=pipe_init(),
+    )
+
+
+def gps_set_predicted_values(s: GpsEstState, now_us, delay_us, cmd_angvel,
+                             cmd_acc, do_push=True) -> GpsEstState:
+    pipe = pipe_push(s.pipe, now_us, delay_us, cmd_acc, cmd_angvel,
+                     jnp.bool_(False), jnp.bool_(do_push))
+    return s._replace(pipe=pipe)
+
+
+def _gps_cov_segment(cov, last_att_corr, att, angvel, cmd_acc, dt):
+    """9x9 covariance propagation for one replay segment (cpp:187-268)."""
+    nom_acc = rot.rotate_back(att, cmd_acc + jnp.array([0.0, 0.0, 9.81], jnp.float32))
+    R = rot.to_matrix(att)
+    ax, ay, az = nom_acc[0], nom_acc[1], nom_acc[2]
+    dva = dt * jnp.stack(
+        [
+            ay * R[:, 2] - az * R[:, 1],
+            -ax * R[:, 2] + az * R[:, 0],
+            ax * R[:, 1] - ay * R[:, 0],
+        ],
+        axis=1,
+    )
+    g = angvel * dt + last_att_corr / 2.0
+    skew = jnp.stack(
+        [
+            jnp.stack([jnp.float32(0.0), g[2], -g[1]]),
+            jnp.stack([-g[2], jnp.float32(0.0), g[0]]),
+            jnp.stack([g[1], -g[0], jnp.float32(0.0)]),
+        ]
+    )
+    I3 = jnp.eye(3, dtype=jnp.float32)
+    Z3 = jnp.zeros((3, 3), jnp.float32)
+    f = jnp.block([[I3, I3 * dt, Z3], [Z3, I3, dva], [Z3, Z3, I3 + skew]])
+    cov = f @ cov @ f.T
+    q = jnp.concatenate(
+        [
+            jnp.zeros(3, jnp.float32),
+            jnp.full(3, GPS_PROC_STD_ACC**2, jnp.float32) * dt * dt,
+            jnp.full(3, GPS_PROC_STD_ANGVEL**2, jnp.float32) * dt * dt,
+        ]
+    )
+    return cov + jnp.diag(q)
+
+
+def _gps_replay(s: GpsEstState, t0_us, t1_us, update_cov):
+    """Replay the command pipe from t0 to t1 for the GPS estimator."""
+    pipe = s.pipe
+    order = (pipe.head + jnp.arange(PIPE_CAPACITY)) % PIPE_CAPACITY
+    act = jnp.where(
+        jnp.arange(PIPE_CAPACITY) < pipe.count, pipe.active_us[order], jnp.int32(2**30)
+    )
+    accs = pipe.acc[order]
+    angvels = pipe.angvel[order]
+    balls = pipe.ballistic[order]
+
+    is_active0 = act <= t0_us
+    any0 = jnp.any(is_active0)
+    idx0 = jnp.where(any0, jnp.argmax(jnp.where(is_active0, jnp.arange(PIPE_CAPACITY), -1)), 0)
+    cur = (
+        jnp.where(any0, accs[idx0], jnp.zeros(3, jnp.float32)),
+        jnp.where(any0, angvels[idx0], jnp.zeros(3, jnp.float32)),
+        jnp.where(any0, balls[idx0], jnp.bool_(True)),
+    )
+
+    def seg(carry, i):
+        t, pos, vel, att, angvel, cur, cov, lac = carry
+        cur_acc, cur_angvel, cur_ball = cur
+        boundary = jnp.clip(act[i], t, t1_us)
+        dt = (boundary - t).astype(jnp.float32) * 1e-6
+        if update_cov:
+            cov2 = _gps_cov_segment(cov, lac, att, angvel, cur_acc, dt)
+            nz = dt > 0
+            cov = jnp.where(nz, cov2, cov)
+            lac = jnp.where(nz, jnp.zeros(3, jnp.float32), lac)
+        pos, vel, att, angvel = _integrate_segment(
+            pos, vel, att, angvel, cur_acc, cur_angvel, cur_ball, dt
+        )
+        switch = (act[i] > t0_us) & (act[i] <= t1_us)
+        cur = (
+            jnp.where(switch, accs[i], cur_acc),
+            jnp.where(switch, angvels[i], cur_angvel),
+            jnp.where(switch, balls[i], cur_ball),
+        )
+        return (boundary, pos, vel, att, angvel, cur, cov, lac), None
+
+    carry = (jnp.maximum(t0_us, 0).astype(jnp.int32), s.pos, s.vel, s.att, s.angvel,
+             cur, s.cov, s.last_att_corr)
+    carry, _ = jax.lax.scan(seg, carry, jnp.arange(PIPE_CAPACITY))
+    t, pos, vel, att, angvel, cur, cov, lac = carry
+    cur_acc, cur_angvel, cur_ball = cur
+    dt = jnp.maximum(t1_us - t, 0).astype(jnp.float32) * 1e-6
+    if update_cov:
+        cov2 = _gps_cov_segment(cov, lac, att, angvel, cur_acc, dt)
+        nz = dt > 0
+        cov = jnp.where(nz, cov2, cov)
+        lac = jnp.where(nz, jnp.zeros(3, jnp.float32), lac)
+    pos, vel, att, angvel = _integrate_segment(
+        pos, vel, att, angvel, cur_acc, cur_angvel, cur_ball, dt
+    )
+    return pos, vel, att, angvel, cov, lac
+
+
+def gps_get_prediction(s: GpsEstState, now_us, latency_us):
+    t1 = now_us + latency_us
+    pos, vel, att, angvel, _, _ = _gps_replay(s, s.estimate_us, t1, update_cov=False)
+    return pos, vel, att, angvel
+
+
+def gps_update(s: GpsEstState, now_us, meas_pos, dt_advance_us) -> GpsEstState:
+    """GPS position update: replay + 3-D KF correction + singular bailout."""
+    meas_pos = jnp.asarray(meas_pos, jnp.float32)
+    # uninitialized: adopt measurement
+    s_uninit = s._replace(
+        initialized=jnp.bool_(True),
+        pos=meas_pos, vel=jnp.zeros(3, jnp.float32),
+        att=rot.identity(), angvel=jnp.zeros(3, jnp.float32),
+        cov=jnp.diag(jnp.asarray(GPS_INIT_STD, jnp.float32) ** 2),
+        estimate_us=now_us, us_since_good_meas=jnp.int32(0),
+    )
+
+    pos, vel, att, angvel, cov, lac = _gps_replay(s, s.estimate_us, now_us, update_cov=True)
+
+    S = cov[0:3, 0:3] + (GPS_MEAS_STD_POS**2) * jnp.eye(3, dtype=jnp.float32)
+    det = jnp.linalg.det(S)
+    bad = (jnp.abs(det) < 1e-10) | ~jnp.all(jnp.isfinite(S))
+    S_safe = jnp.where(bad, jnp.eye(3, dtype=jnp.float32), S)
+    L = cov[:, 0:3] @ jnp.linalg.inv(S_safe)
+    dx = L @ (meas_pos - pos)
+    att_corr = dx[6:9]
+    cov_new = cov - L @ cov[0:3, :]
+    cov_new = 0.5 * (cov_new + cov_new.T)
+
+    s_upd = s._replace(
+        pos=pos + dx[0:3], vel=vel + dx[3:6],
+        att=rot.qmul(att, rot.from_rotation_vector(att_corr)),
+        angvel=angvel, cov=cov_new, last_att_corr=att_corr,
+        estimate_us=now_us, us_since_good_meas=jnp.int32(0),
+        pipe=pipe_clear_expired(s.pipe, now_us),
+    )
+    s_bail = s._replace(
+        pos=meas_pos, vel=jnp.zeros(3, jnp.float32),
+        att=rot.identity(), angvel=jnp.zeros(3, jnp.float32),
+        cov=jnp.diag(jnp.asarray(GPS_INIT_STD, jnp.float32) ** 2),
+        last_att_corr=jnp.zeros(3, jnp.float32),
+        estimate_us=now_us, us_since_good_meas=jnp.int32(0),
+    )
+    out = jax.tree_util.tree_map(lambda u, b: jnp.where(bad, b, u), s_upd, s_bail)
+    return jax.tree_util.tree_map(
+        lambda i, u: jnp.where(s.initialized, i, u), out, s_uninit
     )

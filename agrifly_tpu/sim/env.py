@@ -36,6 +36,8 @@ class EnvParams(NamedTuple):
     offboard_period_us: jnp.ndarray  # int32 (10000 = 100 Hz demo)
     radio_delay_us: jnp.ndarray  # int32 (30000 demo)
     noise_scale: jnp.ndarray  # f32: 1.0 = reference IMU noise, 0.0 = off
+    mocap_period_us: jnp.ndarray  # int32 (5000 = 200 Hz demo)
+    est_latency_us: jnp.ndarray  # int32: latency GetPrediction compensates
 
 
 class Command(NamedTuple):
@@ -66,6 +68,8 @@ class EnvState(NamedTuple):
     key: jnp.ndarray  # PRNG key
     last_cmd_thrust: jnp.ndarray  # f32 (previousThrust in the demo)
     last_cmd_angvel: jnp.ndarray  # (3,)
+    mocap: "object"  # estimators.MocapEstState
+    mocap_acc_us: jnp.ndarray  # int32 periodic accumulator
 
 
 class StepOutputs(NamedTuple):
@@ -85,6 +89,8 @@ def make_params(
     offboard_period: float = 1.0 / 100.0,
     radio_delay: float = 0.03,
     noise_scale: float = 1.0,
+    mocap_period: float = 1.0 / 200.0,
+    est_latency: float = 0.03,
 ) -> EnvParams:
     v = qconst.vehicle_params(vehicle_type)
     return EnvParams(
@@ -95,10 +101,14 @@ def make_params(
         offboard_period_us=jnp.int32(round(offboard_period * 1e6)),
         radio_delay_us=jnp.int32(round(radio_delay * 1e6)),
         noise_scale=jnp.float32(noise_scale),
+        mocap_period_us=jnp.int32(round(mocap_period * 1e6)),
+        est_latency_us=jnp.int32(round(est_latency * 1e6)),
     )
 
 
 def init_state(params: EnvParams, key, pos=(0.0, 0.0, 0.0)) -> EnvState:
+    from agrifly_tpu.offboard import estimators
+
     return EnvState(
         plant=plant_mod.init_state(pos=pos),
         logic=onboard.init_state(params.logic),
@@ -108,11 +118,21 @@ def init_state(params: EnvParams, key, pos=(0.0, 0.0, 0.0)) -> EnvState:
         key=key,
         last_cmd_thrust=jnp.float32(0.0),
         last_cmd_angvel=jnp.zeros(3, jnp.float32),
+        mocap=estimators.mocap_init(),
+        mocap_acc_us=jnp.int32(0),
     )
 
 
-def step(params: EnvParams, s: EnvState, cmd: Command):
-    """Advance one 2 ms tick. Returns (new_state, outputs)."""
+def step(params: EnvParams, s: EnvState, cmd: Command, use_estimator: bool = False):
+    """Advance one 2 ms tick. Returns (new_state, outputs).
+
+    use_estimator (static): False = offboard control sees the true plant
+    state (config #1); True = the demo's full estimation chain (config #2):
+    perfect mocap measurements at 200 Hz -> MocapStateEstimator with
+    delayed-command replay -> GetPrediction(latency) feeds the controller,
+    and each command is fed back into the prediction pipe
+    (Rappids_Simulator/main.cpp:451-457,469,647-649).
+    """
     dt = params.dt_us.astype(jnp.float32) * 1e-6
 
     # 1. radio delivery (pushed >delay ago becomes visible to the logic now)
@@ -147,17 +167,50 @@ def step(params: EnvParams, s: EnvState, cmd: Command):
     )
     new_logic, _ = onboard.logic_step(params.logic, s.logic, inputs)
 
-    # 5. offboard loop (perfect-state estimator; stage-3 swaps in Mocap/GPS)
+    from agrifly_tpu.offboard import estimators
+
+    now_us = (s.step + 1) * params.dt_us  # master time after this tick
+
+    # 5a. mocap measurement stream (200 Hz, perfect pose like the demo)
+    mocap = s.mocap
+    mocap_acc = s.mocap_acc_us + params.dt_us
+    if use_estimator:
+        mfire = mocap_acc > params.mocap_period_us
+        mocap_acc = jnp.where(mfire, mocap_acc - params.mocap_period_us, mocap_acc)
+        mocap_upd = estimators.mocap_update(
+            mocap, now_us, new_plant.pos, new_plant.att, params.mocap_period_us
+        )
+        mocap = jax.tree_util.tree_map(
+            lambda u, o: jnp.where(mfire, u, o), mocap_upd, mocap
+        )
+
+    # 5b. offboard control loop
     acc_us = s.offboard_acc_us + params.dt_us
     fire = acc_us > params.offboard_period_us
     acc_us = jnp.where(fire, acc_us - params.offboard_period_us, acc_us)
 
+    if use_estimator:
+        est_pos, est_vel, est_att, est_angvel = estimators.mocap_get_prediction(
+            mocap, now_us, params.est_latency_us
+        )
+    else:
+        est_pos, est_vel, est_att = new_plant.pos, new_plant.vel, new_plant.att
+
     cmd_angvel, cmd_thrust = offboard_ctrl.run(
-        params.ctrl, new_plant.pos, new_plant.vel, new_plant.att,
+        params.ctrl, est_pos, est_vel, est_att,
         cmd.des_pos, cmd.des_vel, cmd.des_acc, cmd.des_yaw,
     )
     rtype, rflags, rfields = radio.make_rates_command(cmd_thrust, cmd_angvel)
     ring = delayline.push(ring, rtype, rflags, rfields, s.step, fire)
+
+    if use_estimator:
+        # close the latency-compensation loop: commanded (angvel, acc) enter
+        # the prediction pipe, becoming active after the transport delay
+        pred_acc = rot.rotate(est_att, jnp.array([0.0, 0.0, 1.0], jnp.float32)) * cmd_thrust \
+            + jnp.array([0.0, 0.0, -9.81], jnp.float32)
+        mocap = estimators.mocap_set_predicted_values(
+            mocap, now_us, params.est_latency_us, cmd_angvel, pred_acc, fire
+        )
 
     last_thrust = jnp.where(fire, cmd_thrust, s.last_cmd_thrust)
     last_angvel = jnp.where(fire, cmd_angvel, s.last_cmd_angvel)
@@ -166,6 +219,7 @@ def step(params: EnvParams, s: EnvState, cmd: Command):
         plant=new_plant, logic=new_logic, ring=ring,
         offboard_acc_us=acc_us, step=s.step + 1, key=key,
         last_cmd_thrust=last_thrust, last_cmd_angvel=last_angvel,
+        mocap=mocap, mocap_acc_us=mocap_acc,
     )
     outputs = StepOutputs(
         pos=new_plant.pos, vel=new_plant.vel, att=new_plant.att,
@@ -176,11 +230,12 @@ def step(params: EnvParams, s: EnvState, cmd: Command):
     return new_state, outputs
 
 
-def rollout(params: EnvParams, state: EnvState, cmd: Command, n_steps: int):
+def rollout(params: EnvParams, state: EnvState, cmd: Command, n_steps: int,
+            use_estimator: bool = False):
     """Scan `step` over time with a fixed command. Returns (state, traj)."""
 
     def body(carry, _):
-        new_state, out = step(params, carry, cmd)
+        new_state, out = step(params, carry, cmd, use_estimator)
         return new_state, out
 
     return jax.lax.scan(body, state, None, length=n_steps)
