@@ -38,6 +38,7 @@ class EnvParams(NamedTuple):
     noise_scale: jnp.ndarray  # f32: 1.0 = reference IMU noise, 0.0 = off
     mocap_period_us: jnp.ndarray  # int32 (5000 = 200 Hz demo)
     est_latency_us: jnp.ndarray  # int32: latency GetPrediction compensates
+    uwb: "object" = None  # Optional[uwb.UwbParams]: anchors for onboard nav
 
 
 class Command(NamedTuple):
@@ -70,6 +71,7 @@ class EnvState(NamedTuple):
     last_cmd_angvel: jnp.ndarray  # (3,)
     mocap: "object"  # estimators.MocapEstState
     mocap_acc_us: jnp.ndarray  # int32 periodic accumulator
+    uwb: "object" = None  # Optional[uwb.UwbState]
 
 
 class StepOutputs(NamedTuple):
@@ -106,9 +108,31 @@ def make_params(
     )
 
 
+def with_uwb_anchors(params: EnvParams, anchor_ids, anchor_positions,
+                     vehicle_id=1, comm_period=0.01, noise_std=0.0,
+                     outlier_prob=0.0, outlier_std=0.0) -> EnvParams:
+    """Enable UWB-based onboard navigation: install anchors in the onboard
+    logic's ranging-target DB and build the network radio table
+    (row 0 = the vehicle, then the anchors)."""
+    from agrifly_tpu.sim import uwb as uwb_mod
+
+    logic_p = onboard.with_ranging_targets(params.logic, anchor_ids, anchor_positions)
+    radio_ids = [vehicle_id] + list(anchor_ids)
+    uwb_p = uwb_mod.make_params(
+        radio_ids, comm_period=comm_period, noise_std=noise_std,
+        outlier_prob=outlier_prob, outlier_std=outlier_std,
+    )
+    return params._replace(logic=logic_p, uwb=uwb_p)
+
+
 def init_state(params: EnvParams, key, pos=(0.0, 0.0, 0.0)) -> EnvState:
     from agrifly_tpu.offboard import estimators
+    from agrifly_tpu.sim import uwb as uwb_mod
 
+    uwb_state = None
+    if params.uwb is not None:
+        key, uk = jax.random.split(key)
+        uwb_state = uwb_mod.init_state(uk)
     return EnvState(
         plant=plant_mod.init_state(pos=pos),
         logic=onboard.init_state(params.logic),
@@ -120,10 +144,12 @@ def init_state(params: EnvParams, key, pos=(0.0, 0.0, 0.0)) -> EnvState:
         last_cmd_angvel=jnp.zeros(3, jnp.float32),
         mocap=estimators.mocap_init(),
         mocap_acc_us=jnp.int32(0),
+        uwb=uwb_state,
     )
 
 
-def step(params: EnvParams, s: EnvState, cmd: Command, use_estimator: bool = False):
+def step(params: EnvParams, s: EnvState, cmd: Command, use_estimator: bool = False,
+         ctrl_mode: str = "rates"):
     """Advance one 2 ms tick. Returns (new_state, outputs).
 
     use_estimator (static): False = offboard control sees the true plant
@@ -158,12 +184,41 @@ def step(params: EnvParams, s: EnvState, cmd: Command, use_estimator: bool = Fal
     gyro_meas = gyro_true + (gyro_meas - gyro_true) * params.noise_scale
     acc_meas = acc_true + (acc_meas - acc_true) * params.noise_scale
 
+    # 3b. UWB ranging network (when anchors are configured)
+    uwb_state = s.uwb
+    uwb_new = jnp.bool_(False)
+    uwb_range = jnp.float32(0.0)
+    uwb_responder = jnp.int32(0)
+    uwb_failure = jnp.bool_(False)
+    if params.uwb is not None:
+        from agrifly_tpu.sim import uwb as uwb_mod
+
+        n_radios = params.uwb.radio_ids.shape[0]
+        positions = jnp.concatenate(
+            [new_plant.pos[None, :], params.logic.target_positions[: n_radios - 1]],
+            axis=0,
+        )
+        has_targets = params.logic.num_targets > 0
+        my_target = jnp.where(
+            has_targets, params.logic.target_ids[s.logic.next_target_idx], 0
+        )
+        next_ids = jnp.zeros(n_radios, jnp.int32).at[0].set(my_target)
+        uwb_state, meas = uwb_mod.step(
+            params.uwb, uwb_state, positions, next_ids, params.dt_us
+        )
+        uwb_new = meas.valid
+        uwb_range = meas.range
+        uwb_responder = meas.responder_id
+        uwb_failure = meas.failure
+
     # 4. onboard logic tick
     batt_v = params.logic.batt_critical * 1.2  # constant battery sim
     inputs = onboard.null_inputs()._replace(
         gyro=gyro_meas, acc=acc_meas, batt_voltage=batt_v,
         radio_new=delivered, radio_type=mtype, radio_flags=mflags,
         radio_fields=mfields,
+        uwb_new=uwb_new, uwb_range=uwb_range,
+        uwb_responder_id=uwb_responder, uwb_failure=uwb_failure,
     )
     new_logic, _ = onboard.logic_step(params.logic, s.logic, inputs)
 
@@ -200,7 +255,15 @@ def step(params: EnvParams, s: EnvState, cmd: Command, use_estimator: bool = Fal
         params.ctrl, est_pos, est_vel, est_att,
         cmd.des_pos, cmd.des_vel, cmd.des_acc, cmd.des_yaw,
     )
-    rtype, rflags, rfields = radio.make_rates_command(cmd_thrust, cmd_angvel)
+    if ctrl_mode == "rates":
+        rtype, rflags, rfields = radio.make_rates_command(cmd_thrust, cmd_angvel)
+    elif ctrl_mode == "position":
+        # CTRL_ONBOARD_UWB path: forward the setpoint, onboard flies it
+        rtype, rflags, rfields = radio.make_position_command(
+            cmd.des_pos, cmd.des_vel, jnp.zeros(3, jnp.float32)
+        )
+    else:
+        raise ValueError(f"unknown ctrl_mode {ctrl_mode}")
     ring = delayline.push(ring, rtype, rflags, rfields, s.step, fire)
 
     if use_estimator:
@@ -219,7 +282,7 @@ def step(params: EnvParams, s: EnvState, cmd: Command, use_estimator: bool = Fal
         plant=new_plant, logic=new_logic, ring=ring,
         offboard_acc_us=acc_us, step=s.step + 1, key=key,
         last_cmd_thrust=last_thrust, last_cmd_angvel=last_angvel,
-        mocap=mocap, mocap_acc_us=mocap_acc,
+        mocap=mocap, mocap_acc_us=mocap_acc, uwb=uwb_state,
     )
     outputs = StepOutputs(
         pos=new_plant.pos, vel=new_plant.vel, att=new_plant.att,
@@ -231,11 +294,11 @@ def step(params: EnvParams, s: EnvState, cmd: Command, use_estimator: bool = Fal
 
 
 def rollout(params: EnvParams, state: EnvState, cmd: Command, n_steps: int,
-            use_estimator: bool = False):
+            use_estimator: bool = False, ctrl_mode: str = "rates"):
     """Scan `step` over time with a fixed command. Returns (state, traj)."""
 
     def body(carry, _):
-        new_state, out = step(params, carry, cmd, use_estimator)
+        new_state, out = step(params, carry, cmd, use_estimator, ctrl_mode)
         return new_state, out
 
     return jax.lax.scan(body, state, None, length=n_steps)
