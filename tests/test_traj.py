@@ -1,0 +1,221 @@
+"""Minimum-jerk primitive generation + feasibility proofs vs oracles."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from agrifly_tpu.planner import traj
+
+GRAV = np.array([0.0, 0.0, -9.81])
+
+
+def rand_state(rng, n):
+    p0 = rng.uniform(-2, 2, (n, 3))
+    v0 = rng.uniform(-3, 3, (n, 3))
+    a0 = rng.uniform(-3, 3, (n, 3))
+    pf = rng.uniform(-4, 4, (n, 3))
+    tf = rng.uniform(1.0, 3.0, n)
+    return p0, v0, a0, pf, tf
+
+
+def test_generate_hits_full_goal():
+    rng = np.random.default_rng(0)
+    p0, v0, a0, pf, tf = rand_state(rng, 64)
+    tr = traj.generate(p0, v0, a0, tf, goal_pos=pf,
+                       goal_vel=np.zeros((64, 3)), goal_acc=np.zeros((64, 3)))
+    pos_end = np.asarray(traj.position(tr, tr.tf))
+    vel_end = np.asarray(traj.velocity(tr, tr.tf))
+    acc_end = np.asarray(traj.acceleration(tr, tr.tf))
+    assert np.allclose(pos_end, pf, atol=2e-2)
+    assert np.allclose(vel_end, 0, atol=2e-2)
+    assert np.allclose(acc_end, 0, atol=5e-2)
+    # initial state exact
+    assert np.allclose(np.asarray(traj.position(tr, jnp.zeros(64))), p0, atol=1e-6)
+
+
+def test_generate_partial_goals():
+    rng = np.random.default_rng(1)
+    p0, v0, a0, pf, tf = rand_state(rng, 8)
+    vf = rng.uniform(-1, 1, (8, 3))
+    # position+velocity constrained, acceleration free
+    tr = traj.generate(p0, v0, a0, tf, goal_pos=pf, goal_vel=vf)
+    assert np.allclose(np.asarray(traj.position(tr, tr.tf)), pf, atol=2e-2)
+    assert np.allclose(np.asarray(traj.velocity(tr, tr.tf)), vf, atol=2e-2)
+    # velocity only
+    tr2 = traj.generate(p0, v0, a0, tf, goal_vel=vf)
+    assert np.allclose(np.asarray(traj.velocity(tr2, tr2.tf)), vf, atol=2e-2)
+    assert np.allclose(np.asarray(tr2.alpha), 0.0)
+
+
+def test_cost_matches_jerk_integral():
+    rng = np.random.default_rng(2)
+    p0, v0, a0, pf, tf = rand_state(rng, 4)
+    tr = traj.generate(p0, v0, a0, tf, goal_pos=pf,
+                       goal_vel=np.zeros((4, 3)), goal_acc=np.zeros((4, 3)))
+    for i in range(4):
+        ts = np.linspace(0, tf[i], 20001)
+        tri = jax.tree_util.tree_map(lambda x: x[i], tr)
+        j = np.asarray(traj.jerk(tri, jnp.array(ts)))
+        integral = np.trapezoid((j**2).sum(-1), ts)
+        # the reference cost is the *time-averaged* jerk^2 (integral / Tf)
+        assert np.isclose(float(tr.cost[i]), integral / tf[i], rtol=1e-3), (
+            i, float(tr.cost[i]), integral / tf[i])
+
+
+def _np_minmax_acc(tr_i, axis, t1, t2, samples=4001):
+    ts = np.linspace(t1, t2, samples)
+    a = np.asarray(traj.acceleration(tr_i, jnp.array(ts)))[:, axis]
+    return a.min(), a.max()
+
+
+def test_axis_minmax_acc_vs_sampling():
+    rng = np.random.default_rng(3)
+    p0, v0, a0, pf, tf = rand_state(rng, 16)
+    tr = traj.generate(p0, v0, a0, tf, goal_pos=pf,
+                       goal_vel=np.zeros((16, 3)), goal_acc=np.zeros((16, 3)))
+    amin, amax = traj._axis_minmax_acc(tr, np.zeros(16), tf)
+    for i in range(16):
+        tri = jax.tree_util.tree_map(lambda x: x[i], tr)
+        for ax in range(3):
+            lo, hi = _np_minmax_acc(tri, ax, 0, tf[i])
+            assert float(amin[i, ax]) <= lo + 1e-3, (i, ax)
+            assert float(amax[i, ax]) >= hi - 1e-3, (i, ax)
+            # tight (closed form should equal the sampled extrema)
+            assert abs(float(amin[i, ax]) - lo) < 5e-2
+            assert abs(float(amax[i, ax]) - hi) < 5e-2
+
+
+def _np_input_feasibility(tr_i, fmin, fmax, wmax, min_sec=0.02):
+    """Oracle: direct recursive implementation of the reference's bisection."""
+
+    def thrust(t):
+        a = np.asarray(traj.acceleration(tr_i, jnp.array([t])))[0]
+        return np.linalg.norm(a - GRAV)
+
+    def section(t1, t2):
+        if t2 - t1 < min_sec:
+            return "indet"
+        if max(thrust(t1), thrust(t2)) > fmax:
+            return "high"
+        if min(thrust(t1), thrust(t2)) < fmin:
+            return "low"
+        fminsq = fmaxsq = jmaxsq = 0.0
+        for ax in range(3):
+            amin, amax = traj._axis_minmax_acc(tr_i, np.float32(t1), np.float32(t2))
+            v1 = float(amin[ax]) - GRAV[ax]
+            v2 = float(amax[ax]) - GRAV[ax]
+            if max(v1**2, v2**2) > fmax**2:
+                return "high"
+            if v1 * v2 < 0:
+                fminsq += 0.0
+            else:
+                fminsq += min(abs(v1), abs(v2)) ** 2
+            fmaxsq += max(abs(v1), abs(v2)) ** 2
+            jmaxsq += float(traj._axis_max_jerk_sq(tr_i, np.float32(t1), np.float32(t2))[ax])
+        fmn, fmx = np.sqrt(fminsq), np.sqrt(fmaxsq)
+        wb = np.sqrt(jmaxsq / fminsq) if fminsq > 1e-6 else np.inf
+        if fmx < fmin:
+            return "low"
+        if fmn > fmax:
+            return "high"
+        if fmn < fmin or fmx > fmax or wb > wmax:
+            th = (t1 + t2) / 2
+            r1 = section(t1, th)
+            if r1 == "ok":
+                return section(th, t2)
+            return r1
+        return "ok"
+
+    return section(0.0, float(tr_i.tf)) == "ok"
+
+
+def test_input_feasibility_matches_recursive_oracle():
+    rng = np.random.default_rng(4)
+    n = 40
+    p0 = np.zeros((n, 3))
+    v0 = rng.uniform(-4, 4, (n, 3))
+    a0 = rng.uniform(-4, 4, (n, 3))
+    pf = rng.uniform(-5, 5, (n, 3))
+    tf = rng.uniform(1.5, 3.0, n)
+    tr = traj.generate(p0, v0, a0, tf, goal_pos=pf,
+                       goal_vel=np.zeros((n, 3)), goal_acc=np.zeros((n, 3)))
+    got = np.asarray(traj.check_input_feasibility(tr, GRAV, 5.0, 30.0, 20.0))
+    mismatches = 0
+    for i in range(n):
+        tri = jax.tree_util.tree_map(lambda x: x[i], tr)
+        expect = _np_input_feasibility(tri, 5.0, 30.0, 20.0)
+        if bool(got[i]) != expect:
+            mismatches += 1
+    # identical adaptive-tree semantics modulo f32-vs-f64 boundary cases
+    assert mismatches <= 1, mismatches
+    assert got.sum() > 3  # sanity: some candidates feasible
+    assert (~got).sum() > 3  # and some infeasible
+
+
+def test_velocity_feasibility_vs_sampling():
+    rng = np.random.default_rng(5)
+    n = 32
+    p0 = np.zeros((n, 3))
+    v0 = rng.uniform(-4, 4, (n, 3))
+    a0 = rng.uniform(-2, 2, (n, 3))
+    pf = rng.uniform(-8, 8, (n, 3))
+    tf = rng.uniform(1.5, 3.0, n)
+    tr = traj.generate(p0, v0, a0, tf, goal_pos=pf,
+                       goal_vel=np.zeros((n, 3)), goal_acc=np.zeros((n, 3)))
+    vmax = 5.0
+    got = np.asarray(traj.check_velocity_feasibility(tr, vmax))
+    for i in range(n):
+        tri = jax.tree_util.tree_map(lambda x: x[i], tr)
+        ts = np.linspace(0, tf[i], 3001)
+        v = np.asarray(traj.velocity(tri, jnp.array(ts)))
+        exceeded = np.any(np.abs(v) >= vmax)
+        if not bool(got[i]):
+            continue  # declared infeasible: conservative side is fine
+        assert not exceeded, i  # declared feasible must actually be feasible
+
+
+def test_position_feasibility_halfplane():
+    rng = np.random.default_rng(6)
+    n = 32
+    p0 = np.tile(np.array([0.0, 0.0, 2.0]), (n, 1))
+    v0 = rng.uniform(-2, 2, (n, 3))
+    a0 = np.zeros((n, 3))
+    pf = rng.uniform(-3, 3, (n, 3)) + np.array([0, 0, 2.5])
+    tf = rng.uniform(1.5, 3.0, n)
+    tr = traj.generate(p0, v0, a0, tf, goal_pos=pf,
+                       goal_vel=np.zeros((n, 3)), goal_acc=np.zeros((n, 3)))
+    # floor plane at z = 0.5
+    point = np.array([0.0, 0.0, 0.5])
+    normal = np.array([0.0, 0.0, 1.0])
+    got = np.asarray(traj.check_position_feasibility(tr, point, normal))
+    for i in range(n):
+        tri = jax.tree_util.tree_map(lambda x: x[i], tr)
+        ts = np.linspace(0, tf[i], 3001)
+        z = np.asarray(traj.position(tri, jnp.array(ts)))[:, 2]
+        crosses = np.any(z <= 0.5 + 1e-9)
+        assert bool(got[i]) == (not crosses), (i, z.min())
+
+
+def test_omega_finite_difference():
+    tr = traj.generate(
+        np.zeros((1, 3)), np.array([[2.0, 0, 0]]), np.zeros((1, 3)),
+        np.array([2.0]), goal_pos=np.array([[4.0, 2.0, 1.0]]),
+        goal_vel=np.zeros((1, 3)), goal_acc=np.zeros((1, 3)),
+    )
+    w = np.asarray(traj.omega(tr, np.array([0.5]), 0.02, jnp.asarray(GRAV, jnp.float32)))
+    assert w.shape == (1, 3)
+    assert np.all(np.isfinite(w))
+
+
+def test_poly_coeffs_roundtrip():
+    from agrifly_tpu.ops import poly
+
+    rng = np.random.default_rng(7)
+    p0, v0, a0, pf, tf = rand_state(rng, 4)
+    tr = traj.generate(p0, v0, a0, tf, goal_pos=pf,
+                       goal_vel=np.zeros((4, 3)), goal_acc=np.zeros((4, 3)))
+    coeffs = traj.to_poly_coeffs(tr)
+    for t in (0.3, 1.0):
+        a = np.asarray(poly.position(coeffs, jnp.full(4, t)))
+        b = np.asarray(traj.position(tr, jnp.full(4, t)))
+        assert np.allclose(a, b, atol=1e-4)
