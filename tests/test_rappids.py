@@ -1,0 +1,165 @@
+"""RAPPIDS planner: pyramid inflation, collision checking, conservativeness."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from agrifly_tpu.planner import oracle, rappids, traj as traj_mod
+
+W, H = 160, 120
+SCALE = 10.0 / 256.0
+GRAV = jnp.array([0.0, 9.81, 0.0], jnp.float32)  # camera frame: +y is down
+
+
+@pytest.fixture(scope="module")
+def params():
+    cam = rappids.make_camera(W, H, focal=W / 2.0, depth_scale=SCALE)
+    return rappids.make_params(cam, true_radius=0.116, plan_radius=0.174,
+                               min_check_dist=0.5)
+
+
+def depth_image(value_m):
+    code = int(round(value_m / SCALE))
+    return jnp.full((H, W), code, jnp.int32)
+
+
+def scene_with_post(depth_far_m=9.0, post_depth_m=2.0, post_x=(70, 90)):
+    img = np.full((H, W), int(round(depth_far_m / SCALE)), np.int32)
+    img[:, post_x[0]:post_x[1]] = int(round(post_depth_m / SCALE))
+    return jnp.asarray(img)
+
+
+def test_inflate_pyramid_empty_scene(params):
+    img = depth_image(9.0)
+    ok, depth, bounds, normals = rappids.inflate_pyramid(
+        params, img, jnp.int32(W // 2), jnp.int32(H // 2), jnp.float32(2.0)
+    )
+    assert bool(ok)
+    # base plane near the far wall minus the planning radius
+    assert 8.0 < float(depth) < 9.0
+    r, t, l, b = [float(x) for x in bounds]
+    assert l < W // 2 < r and t < H // 2 < b
+    # expands to the FOV margins
+    edge_off = float(params.cam.focal * params.true_radius / params.min_check_dist)
+    assert l <= edge_off + 6 and r >= W - edge_off - 6
+    # normals are unit and point inward-ish (positive dot with +z axis points)
+    n = np.asarray(normals)
+    assert np.allclose(np.linalg.norm(n, axis=1), 1.0, atol=1e-5)
+
+
+def test_inflate_pyramid_blocked(params):
+    # wall closer than the sample depth + planning radius: inflation fails
+    img = depth_image(1.0)
+    ok, *_ = rappids.inflate_pyramid(
+        params, img, jnp.int32(W // 2), jnp.int32(H // 2), jnp.float32(2.0)
+    )
+    assert not bool(ok)
+
+
+def test_inflate_pyramid_shrinks_near_post(params):
+    img = scene_with_post(post_depth_m=2.0, post_x=(100, 120))
+    # seed to the left of the post, at a depth beyond the post
+    ok, depth, bounds, normals = rappids.inflate_pyramid(
+        params, img, jnp.int32(50), jnp.int32(H // 2), jnp.float32(2.5)
+    )
+    assert bool(ok)
+    r = float(bounds[0])
+    # right edge must stop left of the post (with the radius margin)
+    assert r <= 100, r
+
+
+def test_monotonic_sections(params):
+    # forward-then-back z motion has at least 2 monotone sections
+    tr = traj_mod.generate(
+        np.zeros((1, 3)), np.array([[0.0, 0.0, 2.0]]), np.zeros((1, 3)),
+        np.array([2.5]), goal_pos=np.array([[0.5, 0.0, 1.0]]),
+        goal_vel=np.zeros((1, 3)), goal_acc=np.zeros((1, 3)),
+    )
+    tr1 = jax.tree_util.tree_map(lambda x: x[0], tr)
+    t1s, t2s, valid = rappids.monotonic_sections(tr1)
+    nv = int(np.asarray(valid).sum())
+    assert nv >= 2
+    # sections tile [0, tf]
+    t1v = np.asarray(t1s)[np.asarray(valid)]
+    t2v = np.asarray(t2s)[np.asarray(valid)]
+    assert abs(t1v.min()) < 1e-5
+    assert abs(t2v.max() - 2.5) < 1e-4
+    # z is monotone within each section
+    for a, b in zip(t1v, t2v):
+        ts = np.linspace(a, b, 101)
+        z = np.asarray(traj_mod.position(tr1, jnp.array(ts)))[:, 2]
+        dz = np.diff(z)
+        assert np.all(dz >= -1e-4) or np.all(dz <= 1e-4)
+
+
+def test_plan_empty_scene_finds_trajectory(params):
+    img = depth_image(9.0)
+    goal = jnp.array([0.0, 0.0, 20.0], jnp.float32)  # straight ahead
+    res = rappids.plan(
+        params, img, jax.random.PRNGKey(0), jnp.zeros(3), jnp.zeros(3),
+        GRAV, goal, n_candidates=128, pyramid_capacity=16, rounds=2,
+    )
+    assert bool(res.found)
+    assert int(res.num_collision_free) > 10
+    assert float(res.best_cost) < 0  # progress toward the goal
+    assert int(res.num_pyramids) >= 1
+
+
+def test_plan_blocked_scene_finds_nothing(params):
+    img = depth_image(0.9)  # wall everywhere at 0.9 m
+    goal = jnp.array([0.0, 0.0, 20.0], jnp.float32)
+    res = rappids.plan(
+        params, img, jax.random.PRNGKey(0), jnp.zeros(3), jnp.zeros(3),
+        GRAV, goal, n_candidates=128, pyramid_capacity=16, rounds=2,
+    )
+    assert not bool(res.found)
+    assert int(res.num_collision_free) == 0
+
+
+def test_planner_is_conservative_vs_oracle(params):
+    """MeasureConservativeness parity: planner-free => oracle-free."""
+    img = scene_with_post(post_depth_m=2.0, post_x=(70, 90))
+    n = 96
+    tr = rappids.sample_candidates(params, jax.random.PRNGKey(1), n,
+                                   jnp.zeros(3), jnp.zeros(3), GRAV)
+    feas = traj_mod.check_input_feasibility(tr, GRAV, 5.0, 30.0, 20.0)
+
+    end = traj_mod.position(tr, tr.tf)
+    epx, epy = rappids.project(params.cam, end)
+    pyrs = rappids.build_pyramid_set(
+        params, img, epx, epy, end[:, 2], feas, 32
+    )
+    free_planner = jax.vmap(
+        lambda i: rappids.is_collision_free(
+            params, pyrs, jax.tree_util.tree_map(lambda x: x[i], tr))
+    )(jnp.arange(n))
+    free_oracle = jax.vmap(
+        lambda i: oracle.is_collision_free_ground_truth(
+            params, img, jax.tree_util.tree_map(lambda x: x[i], tr))
+    )(jnp.arange(n))
+
+    fp = np.asarray(free_planner)
+    fo = np.asarray(free_oracle)
+    # conservative: never claim free when the oracle says collision
+    false_free = fp & ~fo
+    assert false_free.sum() == 0, np.where(false_free)[0]
+    # and not vacuous: some candidates are free, some collide
+    assert fp.sum() > 0
+    assert (~fo).sum() > 0
+
+
+def test_plan_avoids_post(params):
+    img = scene_with_post(post_depth_m=1.8, post_x=(70, 90))
+    goal = jnp.array([0.0, 0.0, 20.0], jnp.float32)
+    res = rappids.plan(
+        params, img, jax.random.PRNGKey(2), jnp.zeros(3), jnp.zeros(3),
+        GRAV, goal, n_candidates=256, pyramid_capacity=32, rounds=2,
+    )
+    assert bool(res.found)
+    # best trajectory's endpoint must not sit behind/inside the post stripe
+    end = np.asarray(traj_mod.position(res.traj, res.traj.tf))
+    px, py = rappids.project(params.cam, jnp.asarray(end))
+    in_stripe = 70 - 3 < float(px) < 90 + 3
+    behind = end[2] > 1.8 - float(params.plan_radius)
+    assert not (in_stripe and behind), (float(px), end)
