@@ -159,6 +159,18 @@ def step(params: EnvParams, s: EnvState, cmd: Command, use_estimator: bool = Fal
     and each command is fed back into the prediction pipe
     (Rappids_Simulator/main.cpp:451-457,469,647-649).
     """
+    half = physics_tick(s, params, cmd.ext_force, cmd.ext_torque, use_estimator)
+    return _offboard_and_finish(params, s, cmd, half, use_estimator, ctrl_mode)
+
+
+def physics_tick(s: EnvState, params: EnvParams, ext_force, ext_torque,
+                 use_estimator: bool):
+    """Steps 1-5a of one tick: radio delivery, plant, IMU, UWB, onboard
+    logic, mocap estimator update. Shared by env.step and the orchard env
+    (which replaces the offboard block with trajectory tracking).
+
+    Returns a dict with the partial new state + estimator output.
+    """
     dt = params.dt_us.astype(jnp.float32) * 1e-6
 
     # 1. radio delivery (pushed >delay ago becomes visible to the logic now)
@@ -169,7 +181,7 @@ def step(params: EnvParams, s: EnvState, cmd: Command, use_estimator: bool = Fal
     # 2. physics
     new_plant, acc_imu = plant_mod.step(
         params.plant, s.plant, s.logic.des_motor_speeds,
-        cmd.ext_force, cmd.ext_torque, dt,
+        ext_force, ext_torque, dt,
     )
 
     # 3. IMU fabrication
@@ -239,17 +251,37 @@ def step(params: EnvParams, s: EnvState, cmd: Command, use_estimator: bool = Fal
             lambda u, o: jnp.where(mfire, u, o), mocap_upd, mocap
         )
 
-    # 5b. offboard control loop
-    acc_us = s.offboard_acc_us + params.dt_us
-    fire = acc_us > params.offboard_period_us
-    acc_us = jnp.where(fire, acc_us - params.offboard_period_us, acc_us)
-
     if use_estimator:
         est_pos, est_vel, est_att, est_angvel = estimators.mocap_get_prediction(
             mocap, now_us, params.est_latency_us
         )
     else:
         est_pos, est_vel, est_att = new_plant.pos, new_plant.vel, new_plant.att
+        est_angvel = new_plant.angvel
+
+    return dict(
+        plant=new_plant, logic=new_logic, ring=ring, key=key,
+        uwb=uwb_state, mocap=mocap, mocap_acc_us=mocap_acc, now_us=now_us,
+        est=(est_pos, est_vel, est_att, est_angvel),
+    )
+
+
+def _offboard_and_finish(params: EnvParams, s: EnvState, cmd: Command, half,
+                         use_estimator: bool, ctrl_mode: str):
+    from agrifly_tpu.offboard import estimators
+    from agrifly_tpu.ops import rotation as rot
+
+    new_plant = half["plant"]
+    new_logic = half["logic"]
+    ring = half["ring"]
+    mocap = half["mocap"]
+    now_us = half["now_us"]
+    est_pos, est_vel, est_att, est_angvel = half["est"]
+
+    # 5b. offboard control loop
+    acc_us = s.offboard_acc_us + params.dt_us
+    fire = acc_us > params.offboard_period_us
+    acc_us = jnp.where(fire, acc_us - params.offboard_period_us, acc_us)
 
     cmd_angvel, cmd_thrust = offboard_ctrl.run(
         params.ctrl, est_pos, est_vel, est_att,
@@ -280,9 +312,9 @@ def step(params: EnvParams, s: EnvState, cmd: Command, use_estimator: bool = Fal
 
     new_state = EnvState(
         plant=new_plant, logic=new_logic, ring=ring,
-        offboard_acc_us=acc_us, step=s.step + 1, key=key,
+        offboard_acc_us=acc_us, step=s.step + 1, key=half["key"],
         last_cmd_thrust=last_thrust, last_cmd_angvel=last_angvel,
-        mocap=mocap, mocap_acc_us=mocap_acc, uwb=uwb_state,
+        mocap=mocap, mocap_acc_us=half["mocap_acc_us"], uwb=half["uwb"],
     )
     outputs = StepOutputs(
         pos=new_plant.pos, vel=new_plant.vel, att=new_plant.att,

@@ -1,0 +1,336 @@
+"""Config #3: depth-camera orchard flight — render + RAPPIDS + tracking.
+
+The full perception-plan-act loop of the single-thread demo
+(Simulator/Rappids_Simulator/main.cpp:330-760), fused on-device with no
+process boundaries: where the reference blocks on Unity RPC pose-sync every
+2 ms step and waits for 30 Hz images from another process, here one
+`frame_step` renders a depth frame from the current pose (Pallas raycaster),
+runs the batched RAPPIDS planner, then scans `steps_per_frame` physics ticks
+that track the planned trajectory through the same quantized radio channel
+as the reference (200 Hz mocap estimator -> receding-horizon RunTracking ->
+rates command -> 30 ms delay line -> onboard rates controller).
+
+Time structure: frame-major. The reference plans at <= 30 Hz (image rate)
+inside a 100 Hz offboard loop; here planning happens exactly once per
+frame and tracking references are refreshed inside the tick loop at the
+offboard cadence. steps_per_frame = 16 gives a 31.25 Hz frame rate vs the
+reference's 30 Hz.
+
+The mission profile matches the demo: climb to `takeoff_height` until
+`start_flight_time`, then plan/track toward `goal_world`; if no plan
+exists yet, hover at 2 m (main.cpp:565-569).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from agrifly_tpu.io import radio
+from agrifly_tpu.offboard import controller as offboard_ctrl
+from agrifly_tpu.offboard import estimators
+from agrifly_tpu.ops import rotation as rot
+from agrifly_tpu.planner import rappids, traj as traj_mod
+from agrifly_tpu.render import orchard as orch
+from agrifly_tpu.render import pallas_raycast, raycast
+from agrifly_tpu.sim import delayline, env as env_mod
+
+GRAV_W = jnp.array([0.0, 0.0, -9.81], jnp.float32)
+
+
+class OrchardEnvParams(NamedTuple):
+    base: env_mod.EnvParams
+    scene: orch.OrchardParams
+    render_cfg: raycast.RenderConfig
+    planner: rappids.PlannerParams
+    goal_world: jnp.ndarray  # (3,)
+    takeoff_height: jnp.ndarray
+    start_flight_step: jnp.ndarray  # int32 sim step when planning begins
+    steps_per_frame: int  # static
+    n_candidates: int  # static
+    pyramid_capacity: int  # static
+    planner_rounds: int  # static
+    use_pallas: bool  # static
+    track_lookahead: jnp.ndarray  # 0.04 s (main.cpp:571)
+
+
+class PlannedTraj(NamedTuple):
+    """The currently tracked camera-frame trajectory + world transform."""
+
+    planned: jnp.ndarray  # bool
+    alpha: jnp.ndarray  # (3,)
+    beta: jnp.ndarray
+    gamma: jnp.ndarray
+    a0: jnp.ndarray
+    v0: jnp.ndarray
+    p0: jnp.ndarray
+    tf: jnp.ndarray
+    att: jnp.ndarray  # (4,) trajAtt = estAtt * camAtt
+    offset: jnp.ndarray  # (3,) estPos at plan time
+    start_step: jnp.ndarray  # int32 sim step of trajectory reset
+    grav_cam: jnp.ndarray  # (3,) gravity at plan time (for thrust/omega)
+
+
+def _null_planned() -> PlannedTraj:
+    z3 = jnp.zeros(3, jnp.float32)
+    return PlannedTraj(
+        planned=jnp.bool_(False), alpha=z3, beta=z3, gamma=z3, a0=z3, v0=z3,
+        p0=z3, tf=jnp.float32(1.0), att=rot.identity(), offset=z3,
+        start_step=jnp.int32(0), grav_cam=z3,
+    )
+
+
+class OrchardEnvState(NamedTuple):
+    base: env_mod.EnvState
+    planned: PlannedTraj
+    plan_count: jnp.ndarray  # int32 successful plans
+    frame_count: jnp.ndarray  # int32
+
+
+def make_params(
+    goal_world=(120.0, 0.0, 3.5),
+    takeoff_height=3.5,
+    start_flight_time=5.0,
+    steps_per_frame=16,
+    n_candidates=256,
+    pyramid_capacity=32,
+    planner_rounds=2,
+    use_pallas=True,
+    width=640, height=480,
+    seed=0,
+    noise_scale=1.0,
+) -> OrchardEnvParams:
+    base = env_mod.make_params(noise_scale=noise_scale)
+    scene = orch.make_params(seed=seed)
+    cfg = raycast.make_config(width, height, far=10.0, dda_steps=8)
+    cam = rappids.make_camera(width, height, focal=width / 2.0, depth_scale=10.0 / 256.0)
+    # radii from arm length (ExampleVehicleStateMachine.cpp:441-443 /
+    # Rappids demo main.cpp:167-169)
+    from agrifly_tpu.models import constants as qconst
+
+    v = qconst.vehicle_params(qconst.QC_TYPE_CF_MINIQUAD)
+    planner = rappids.make_params(
+        cam, true_radius=2 * v.arm_length, plan_radius=3 * v.arm_length,
+        min_check_dist=0.5,
+    )
+    return OrchardEnvParams(
+        base=base, scene=scene, render_cfg=cfg, planner=planner,
+        goal_world=jnp.asarray(goal_world, jnp.float32),
+        takeoff_height=jnp.float32(takeoff_height),
+        start_flight_step=jnp.int32(round(start_flight_time * 500)),
+        steps_per_frame=int(steps_per_frame),
+        n_candidates=int(n_candidates),
+        pyramid_capacity=int(pyramid_capacity),
+        planner_rounds=int(planner_rounds),
+        use_pallas=bool(use_pallas),
+        track_lookahead=jnp.float32(0.04),
+    )
+
+
+def init_state(params: OrchardEnvParams, key, pos=(0.0, 0.0, 0.0)) -> OrchardEnvState:
+    return OrchardEnvState(
+        base=env_mod.init_state(params.base, key, pos=pos),
+        planned=_null_planned(),
+        plan_count=jnp.int32(0),
+        frame_count=jnp.int32(0),
+    )
+
+
+def _planned_as_traj(p: PlannedTraj) -> traj_mod.Traj:
+    return traj_mod.Traj(
+        alpha=p.alpha, beta=p.beta, gamma=p.gamma, a0=p.a0, v0=p.v0, p0=p.p0,
+        tf=p.tf, cost=jnp.float32(0.0),
+    )
+
+
+def _tracking_refs(params: OrchardEnvParams, pl: PlannedTraj, step):
+    """Receding-horizon reference state at sim step (main.cpp:560-605)."""
+    tr = _planned_as_traj(pl)
+    t = (step - pl.start_step).astype(jnp.float32) * (
+        params.base.dt_us.astype(jnp.float32) * 1e-6
+    )
+    running = t < pl.tf
+    t_la = jnp.minimum(t + params.track_lookahead, pl.tf)
+    t_eval = jnp.where(running, t_la, pl.tf)
+
+    pos_c = traj_mod.position(tr, t_eval)
+    vel_c = jnp.where(running, traj_mod.velocity(tr, t_eval), jnp.zeros(3, jnp.float32))
+    acc_c = jnp.where(running, traj_mod.acceleration(tr, t_eval), jnp.zeros(3, jnp.float32))
+
+    # disallow going backwards through the camera plane (main.cpp:578-597)
+    z_neg = pos_c[2] < 0
+    pos_c = pos_c.at[2].set(jnp.where(z_neg, 0.0, pos_c[2]))
+    vel_c = vel_c.at[2].set(jnp.where(z_neg & (vel_c[2] < 0), 0.0, vel_c[2]))
+    acc_c = acc_c.at[2].set(jnp.where(z_neg & (acc_c[2] < 0), 0.0, acc_c[2]))
+
+    R = rot.to_matrix(pl.att)
+    ref_pos = R @ pos_c + pl.offset
+    ref_vel = R @ vel_c
+    ref_acc = R @ acc_c
+    t_thr = jnp.clip(t, 0.0, pl.tf)
+    ref_thrust = traj_mod.thrust(tr, t_thr, pl.grav_cam)
+    omega_cam = traj_mod.omega(tr, jnp.minimum(t_thr, pl.tf - 0.02), 0.02, pl.grav_cam)
+    ref_angvel_world = R @ omega_cam
+    return ref_pos, ref_vel, ref_acc, ref_thrust, ref_angvel_world
+
+
+def _sim_tick(params: OrchardEnvParams, s: OrchardEnvState) -> OrchardEnvState:
+    """One 2 ms tick with tracking/takeoff offboard control."""
+    base = s.base
+    p = params.base
+    z3 = jnp.zeros(3, jnp.float32)
+
+    half = env_mod.physics_tick(base, p, z3, z3, use_estimator=True)
+    est_pos, est_vel, est_att, est_angvel = half["est"]
+
+    # offboard loop cadence
+    acc_us = base.offboard_acc_us + p.dt_us
+    fire = acc_us > p.offboard_period_us
+    acc_us = jnp.where(fire, acc_us - p.offboard_period_us, acc_us)
+
+    in_flight = base.step >= params.start_flight_step
+
+    # takeoff / no-plan hover target
+    hover_pos = jnp.where(
+        in_flight,
+        jnp.array([0.0, 0.0, 2.0], jnp.float32),
+        jnp.stack([jnp.float32(0.0), jnp.float32(0.0), params.takeoff_height]),
+    )
+    angvel_hover, thrust_hover = offboard_ctrl.run(
+        p.ctrl, est_pos, est_vel, est_att, hover_pos,
+    )
+
+    # tracking control
+    ref_pos, ref_vel, ref_acc, ref_thrust, ref_angvel_w = _tracking_refs(
+        params, s.planned, base.step
+    )
+    ref_angvel_body = rot.rotate_back(est_att, ref_angvel_w)
+    angvel_track, thrust_track, _ = offboard_ctrl.run_tracking(
+        p.ctrl, est_pos, est_vel, est_att, ref_pos, ref_vel, ref_acc,
+        jnp.float32(0.0), ref_thrust, ref_angvel_body,
+    )
+
+    track = in_flight & s.planned.planned
+    cmd_angvel = jnp.where(track, angvel_track, angvel_hover)
+    cmd_thrust = jnp.where(track, thrust_track, thrust_hover)
+
+    rtype, rflags, rfields = radio.make_rates_command(cmd_thrust, cmd_angvel)
+    ring = delayline.push(half["ring"], rtype, rflags, rfields, base.step, fire)
+
+    # latency-compensation feedback into the estimator pipe
+    pred_acc = rot.rotate(est_att, jnp.array([0.0, 0.0, 1.0], jnp.float32)) * cmd_thrust + GRAV_W
+    mocap = estimators.mocap_set_predicted_values(
+        half["mocap"], half["now_us"], p.est_latency_us, cmd_angvel, pred_acc, fire
+    )
+
+    new_base = env_mod.EnvState(
+        plant=half["plant"], logic=half["logic"], ring=ring,
+        offboard_acc_us=acc_us, step=base.step + 1, key=half["key"],
+        last_cmd_thrust=jnp.where(fire, cmd_thrust, base.last_cmd_thrust),
+        last_cmd_angvel=jnp.where(fire, cmd_angvel, base.last_cmd_angvel),
+        mocap=mocap, mocap_acc_us=half["mocap_acc_us"], uwb=half["uwb"],
+    )
+    return s._replace(base=new_base)
+
+
+def frame_step(params: OrchardEnvParams, s: OrchardEnvState):
+    """One 33 ms frame: render -> plan -> 16 tracked physics ticks.
+
+    Returns (state, FrameOutputs-dict).
+    """
+    base = s.base
+    p = params.base
+
+    # current estimator view (what the planner gets, main.cpp:469,489-495)
+    now_us = base.step * p.dt_us
+    est_pos, est_vel, est_att, est_angvel = estimators.mocap_get_prediction(
+        base.mocap, now_us, p.est_latency_us
+    )
+    est_att_n = rot.qnormalize(est_att)
+
+    # 1. render a depth frame from the *true* pose (the renderer plays
+    # Unity's role; the reference pushes the true kinematics to Unity)
+    cam_att = raycast.camera_attitude(base.plant.att)
+    if params.use_pallas:
+        depth = pallas_raycast.render_depth_batch(
+            params.render_cfg, params.scene, base.plant.pos[None], cam_att[None]
+        )[0]
+    else:
+        depth = raycast.render_depth(
+            params.render_cfg, params.scene, base.plant.pos, cam_att
+        )
+
+    # 2. plan in the camera frame (main.cpp:484-508)
+    cam_att_est = rot.qmul(est_att_n, rot.from_euler_ypr(*raycast.DEPTH_CAM_YPR))
+    R_wc = rot.to_matrix(cam_att_est)  # world-from-camera
+    vel_cam = R_wc.T @ est_vel
+    acc_cam = R_wc.T @ (
+        rot.rotate(est_att_n, jnp.array([0.0, 0.0, 1.0], jnp.float32))
+        * base.last_cmd_thrust + GRAV_W
+    )
+    grav_cam = R_wc.T @ GRAV_W
+    goal_cam = R_wc.T @ (params.goal_world - est_pos)
+
+    key, sub = jax.random.split(base.key)
+    res = rappids.plan(
+        params.planner, depth, sub, vel_cam, acc_cam, grav_cam, goal_cam,
+        n_candidates=params.n_candidates,
+        pyramid_capacity=params.pyramid_capacity,
+        rounds=params.planner_rounds,
+    )
+
+    in_flight = base.step >= params.start_flight_step
+    adopt = res.found & in_flight
+    new_planned = PlannedTraj(
+        planned=jnp.where(adopt, jnp.bool_(True), s.planned.planned),
+        alpha=jnp.where(adopt, res.traj.alpha, s.planned.alpha),
+        beta=jnp.where(adopt, res.traj.beta, s.planned.beta),
+        gamma=jnp.where(adopt, res.traj.gamma, s.planned.gamma),
+        a0=jnp.where(adopt, res.traj.a0, s.planned.a0),
+        v0=jnp.where(adopt, res.traj.v0, s.planned.v0),
+        p0=jnp.where(adopt, res.traj.p0, s.planned.p0),
+        tf=jnp.where(adopt, res.traj.tf, s.planned.tf),
+        att=jnp.where(adopt, cam_att_est, s.planned.att),
+        offset=jnp.where(adopt, est_pos, s.planned.offset),
+        start_step=jnp.where(adopt, base.step, s.planned.start_step),
+        grav_cam=jnp.where(adopt, grav_cam, s.planned.grav_cam),
+    )
+
+    s = s._replace(
+        base=base._replace(key=key),
+        planned=new_planned,
+        plan_count=s.plan_count + adopt.astype(jnp.int32),
+        frame_count=s.frame_count + 1,
+    )
+
+    # 3. physics ticks
+    def body(carry, _):
+        return _sim_tick(params, carry), None
+
+    s, _ = jax.lax.scan(body, s, None, length=params.steps_per_frame)
+
+    outputs = dict(
+        pos=s.base.plant.pos, vel=s.base.plant.vel, att=s.base.plant.att,
+        flight_state=s.base.logic.fs, panic=s.base.logic.panic_reason,
+        plan_found=res.found, num_collision_free=res.num_collision_free,
+        num_pyramids=res.num_pyramids, best_cost=res.best_cost,
+    )
+    return s, outputs
+
+
+def fly(params: OrchardEnvParams, s: OrchardEnvState, n_frames: int):
+    """Scan frame_step. Returns (state, stacked frame outputs).
+
+    NB: OrchardEnvParams mixes arrays with static python config
+    (steps_per_frame, use_pallas, ...). Close over `params` when jitting:
+        step = jax.jit(lambda s: fly(params, s, n))
+    rather than passing params as a traced argument.
+    """
+
+    def body(carry, _):
+        return frame_step(params, carry)
+
+    return jax.lax.scan(body, s, None, length=n_frames)
