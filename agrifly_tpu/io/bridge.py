@@ -1,0 +1,198 @@
+"""Host-side topic bridge: stream the TPU sim over the AIFS_ROS schema.
+
+Plays the role of the reference's ROS simulator node (AIFS_ROS/
+hiperlab_rostools/src/Simulator/main.cpp:163-234 + publish loop): a
+pub/sub bus without the ROS dependency — register python callbacks per
+topic (a rospy adapter can forward them 1:1), drive the jitted sim tick
+by tick, and messages are published at the reference cadences:
+
+    simulator_truth  500 Hz     mocap_output  200 Hz
+    gps_output       100 Hz     imu_output    500 Hz
+    telemetry        100 Hz     estimator_output 100 Hz
+
+Incoming radio_command messages are queued and injected into the sim's
+delay line, exactly like the node's radio-command subscriber.
+"""
+
+from __future__ import annotations
+
+import collections
+from typing import Callable, Dict, List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from agrifly_tpu.io import messages as msgs
+from agrifly_tpu.io import radio as radio_codec
+from agrifly_tpu.io import telemetry as tel_codec
+from agrifly_tpu.ops import rotation as rot_ops
+from agrifly_tpu.sim import delayline, env as env_mod
+
+RATE_TRUTH = 500
+RATE_MOCAP = 200
+RATE_GPS = 100
+RATE_IMU = 500
+RATE_TELEMETRY = 100
+RATE_ESTIMATOR = 100
+
+
+class TopicBus:
+    """Minimal in-process pub/sub."""
+
+    def __init__(self):
+        self._subs: Dict[str, List[Callable]] = collections.defaultdict(list)
+        self.counts: Dict[str, int] = collections.defaultdict(int)
+
+    def subscribe(self, topic: str, cb: Callable):
+        self._subs[topic].append(cb)
+
+    def publish(self, topic: str, msg):
+        self.counts[topic] += 1
+        for cb in self._subs[topic]:
+            cb(msg)
+
+
+def _ypr(q):
+    y, p, r = rot_ops.to_euler_ypr(jnp.asarray(q))
+    return float(y), float(p), float(r)
+
+
+class SimBridge:
+    """Drives one vehicle's fused env and publishes the topic schema."""
+
+    def __init__(self, params: env_mod.EnvParams, vehicle_id=1, seed=0,
+                 use_estimator=True, bus: TopicBus | None = None):
+        self.params = params
+        self.vehicle_id = int(vehicle_id)
+        self.bus = bus if bus is not None else TopicBus()
+        self.state = env_mod.init_state(params, jax.random.PRNGKey(seed))
+        self._step = jax.jit(
+            lambda s, c: env_mod.step(params, s, c, use_estimator)
+        )
+        self._pending_radio: collections.deque = collections.deque()
+        self._accum = {k: 0 for k in ("mocap", "gps", "telemetry", "estimator")}
+        self.t_us = 0
+        self.bus.subscribe(f"radio_command{self.vehicle_id}", self._on_radio)
+
+    # ---- subscribers ----
+    def _on_radio(self, msg: msgs.RadioCommand):
+        self._pending_radio.append(msg.raw[: radio_codec.RAW_PACKET_SIZE])
+
+    # ---- main loop ----
+    def run(self, n_steps: int, cmd: env_mod.Command):
+        for _ in range(n_steps):
+            self.tick(cmd)
+
+    def tick(self, cmd: env_mod.Command):
+        # inject externally received radio commands into the delay line
+        while self._pending_radio:
+            raw = self._pending_radio.popleft()
+            mtype, mflags, fields = radio_codec.bytes_to_fields(raw)
+            self.state = self.state._replace(
+                ring=delayline.push(
+                    self.state.ring, jnp.int32(mtype), jnp.int32(mflags),
+                    jnp.asarray(fields), self.state.step, jnp.bool_(True),
+                )
+            )
+
+        self.state, out = self._step(self.state, cmd)
+        dt_us = int(self.params.dt_us)
+        self.t_us += dt_us
+        t = self.t_us * 1e-6
+        vid = self.vehicle_id
+
+        pos = np.asarray(out.pos, np.float64)
+        vel = np.asarray(out.vel, np.float64)
+        att = np.asarray(out.att, np.float64)
+        angvel = np.asarray(out.angvel, np.float64)
+        yaw, pitch, roll = _ypr(att)
+
+        # 500 Hz truth + imu
+        self.bus.publish(
+            f"simulator_truth{vid}",
+            msgs.SimulatorTruth(
+                header=msgs.Header(stamp=t), vehicleID=vid,
+                posx=pos[0], posy=pos[1], posz=pos[2],
+                velx=vel[0], vely=vel[1], velz=vel[2],
+                attyaw=yaw, attpitch=pitch, attroll=roll,
+                attq0=att[0], attq1=att[1], attq2=att[2], attq3=att[3],
+                angvelx=angvel[0], angvely=angvel[1], angvelz=angvel[2],
+            ),
+        )
+        from agrifly_tpu.ops import filters
+
+        logic = self.state.logic
+        acc_f = np.asarray(filters.lp2_value(logic.acc_lp), np.float64)
+        gyro_f = np.asarray(filters.lp2_value(logic.gyro_lp), np.float64)
+        self.bus.publish(
+            f"imu_output{vid}",
+            msgs.ImuOutput(
+                header=msgs.Header(stamp=t), vehicleID=vid,
+                accmeasx=acc_f[0], accmeasy=acc_f[1], accmeasz=acc_f[2],
+                gyromeasx=gyro_f[0], gyromeasy=gyro_f[1], gyromeasz=gyro_f[2],
+            ),
+        )
+
+        def fires(name, rate):
+            period = 10**6 // rate
+            self._accum[name] += dt_us
+            if self._accum[name] > period:
+                self._accum[name] -= period
+                return True
+            return False
+
+        if fires("mocap", RATE_MOCAP):
+            self.bus.publish(
+                f"mocap_output{vid}",
+                msgs.MocapOutput(
+                    header=msgs.Header(stamp=t), vehicleID=vid,
+                    posx=pos[0], posy=pos[1], posz=pos[2],
+                    attyaw=yaw, attpitch=pitch, attroll=roll,
+                    attq0=att[0], attq1=att[1], attq2=att[2], attq3=att[3],
+                ),
+            )
+        if fires("gps", RATE_GPS):
+            self.bus.publish(
+                f"gps_output{vid}",
+                msgs.GpsOutput(
+                    header=msgs.Header(stamp=t), vehicleID=vid,
+                    posx=pos[0], posy=pos[1], posz=pos[2],
+                ),
+            )
+        if fires("telemetry", RATE_TELEMETRY):
+            pkts, new_logic = tel_codec.encode_from_logic(logic)
+            self.state = self.state._replace(logic=new_logic)
+            dec = tel_codec.decode(pkts)
+            self.bus.publish(
+                f"telemetry{vid}",
+                msgs.Telemetry(
+                    header=msgs.Header(stamp=t), vehicleID=vid,
+                    type=int(pkts.type1), packetNumber=int(pkts.packet_number),
+                    accelerometer=tuple(np.asarray(dec.accel, np.float64)),
+                    rateGyro=tuple(np.asarray(dec.gyro, np.float64)),
+                    position=tuple(np.asarray(dec.position, np.float64)),
+                    attitude=tuple(np.asarray(dec.attitude, np.float64)),
+                    velocity=tuple(np.asarray(dec.velocity, np.float64)),
+                    panicReason=int(dec.panic_reason),
+                    warnings=int(dec.warnings),
+                ),
+            )
+        if fires("estimator", RATE_ESTIMATOR):
+            m = self.state.mocap
+            e_pos = np.asarray(m.pos, np.float64)
+            e_vel = np.asarray(m.vel, np.float64)
+            e_att = np.asarray(m.att, np.float64)
+            e_av = np.asarray(m.angvel, np.float64)
+            ey, ep, er = _ypr(e_att)
+            self.bus.publish(
+                f"estimator{vid}",
+                msgs.EstimatorOutput(
+                    header=msgs.Header(stamp=t), vehicleID=vid,
+                    posx=e_pos[0], posy=e_pos[1], posz=e_pos[2],
+                    velx=e_vel[0], vely=e_vel[1], velz=e_vel[2],
+                    attyaw=ey, attpitch=ep, attroll=er,
+                    attq0=e_att[0], attq1=e_att[1], attq2=e_att[2], attq3=e_att[3],
+                    angvelx=e_av[0], angvely=e_av[1], angvelz=e_av[2],
+                ),
+            )

@@ -1,0 +1,200 @@
+"""AIFS_ROS message schema (the external interface to preserve).
+
+Python dataclass mirrors of AIFS_ROS/hiperlab_rostools/msg/*.msg — field
+names and layouts match one-to-one so a thin rospy/rclpy adapter can map
+them onto the original topics. Used by io.bridge to stream the TPU sim
+over the reference's topic schema without a ROS dependency.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import List, Tuple
+
+
+@dataclass
+class Header:
+    stamp: float = 0.0  # seconds
+    frame_id: str = ""
+    seq: int = 0
+
+
+@dataclass
+class SimulatorTruth:
+    header: Header = field(default_factory=Header)
+    vehicleID: int = 0
+    posx: float = 0.0
+    posy: float = 0.0
+    posz: float = 0.0
+    velx: float = 0.0
+    vely: float = 0.0
+    velz: float = 0.0
+    attyaw: float = 0.0
+    attpitch: float = 0.0
+    attroll: float = 0.0
+    attq0: float = 1.0
+    attq1: float = 0.0
+    attq2: float = 0.0
+    attq3: float = 0.0
+    angvelx: float = 0.0
+    angvely: float = 0.0
+    angvelz: float = 0.0
+
+
+@dataclass
+class MocapOutput:
+    header: Header = field(default_factory=Header)
+    vehicleID: int = 0
+    posx: float = 0.0
+    posy: float = 0.0
+    posz: float = 0.0
+    attyaw: float = 0.0
+    attpitch: float = 0.0
+    attroll: float = 0.0
+    attq0: float = 1.0
+    attq1: float = 0.0
+    attq2: float = 0.0
+    attq3: float = 0.0
+
+
+@dataclass
+class GpsOutput:
+    header: Header = field(default_factory=Header)
+    vehicleID: int = 0
+    posx: float = 0.0
+    posy: float = 0.0
+    posz: float = 0.0
+
+
+@dataclass
+class ImuOutput:
+    header: Header = field(default_factory=Header)
+    vehicleID: int = 0
+    accmeasx: float = 0.0
+    accmeasy: float = 0.0
+    accmeasz: float = 0.0
+    gyromeasx: float = 0.0
+    gyromeasy: float = 0.0
+    gyromeasz: float = 0.0
+
+
+@dataclass
+class EstimatorOutput:
+    header: Header = field(default_factory=Header)
+    vehicleID: int = 0
+    posx: float = 0.0
+    posy: float = 0.0
+    posz: float = 0.0
+    velx: float = 0.0
+    vely: float = 0.0
+    velz: float = 0.0
+    attyaw: float = 0.0
+    attpitch: float = 0.0
+    attroll: float = 0.0
+    attq0: float = 1.0
+    attq1: float = 0.0
+    attq2: float = 0.0
+    attq3: float = 0.0
+    angvelx: float = 0.0
+    angvely: float = 0.0
+    angvelz: float = 0.0
+
+
+@dataclass
+class Telemetry:
+    header: Header = field(default_factory=Header)
+    vehicleID: int = 0
+    type: int = 0
+    packetNumber: int = 0
+    seqNum: int = 0
+    accelerometer: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    rateGyro: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    position: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    attitude: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    velocity: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    attitudeYPR: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    panicReason: int = 0
+    warnings: int = 0
+
+
+@dataclass
+class RadioCommand:
+    header: Header = field(default_factory=Header)
+    raw: bytes = b"\x00" * 32
+    debugflags: int = 0
+    debugvals: Tuple[float, ...] = tuple([0.0] * 10)
+    debugtype: int = 0
+
+
+@dataclass
+class JoystickValues:
+    header: Header = field(default_factory=Header)
+    buttonStart: int = 0
+    buttonRed: int = 0
+    buttonYellow: int = 0
+    buttonBlue: int = 0
+    buttonGreen: int = 0
+    axes: Tuple[float, float, float, float] = (0.0, 0.0, 0.0, 0.0)
+
+
+@dataclass
+class PlannerStatistics:
+    trajectory_found: bool = False
+    NumCollisionFree: int = 0
+    NumPyramids: int = 0
+    NumVelocityChecks: int = 0
+    NumCollisionChecks: int = 0
+    NumCostChecks: int = 0
+    NumTrajectoriesGenerated: int = 0
+
+
+@dataclass
+class PolynomialTrajectory:
+    coeff0: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    coeff1: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    coeff2: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    coeff3: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    coeff4: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    coeff5: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    duration: float = 0.0
+
+
+@dataclass
+class PlannerDiagnostics:
+    header: Header = field(default_factory=Header)
+    random_seed: int = 0
+    velocity_D: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    acceleration_D: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    gravity_D: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    goal_W: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    trajectory_id: int = 0
+    planner_statistics: PlannerStatistics = field(default_factory=PlannerStatistics)
+    trajectory_parameters_D: PolynomialTrajectory = field(default_factory=PolynomialTrajectory)
+    trajectory_reset_time: float = 0.0
+
+
+@dataclass
+class ControllerDiagnostics:
+    header: Header = field(default_factory=Header)
+    desired_yaw: float = 0.0
+    position_estimate_W: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    velocity_estimate_W: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    attitude_estimate_W: Tuple[float, float, float, float] = (1.0, 0.0, 0.0, 0.0)
+    trajectory_id: int = 0
+    trajectory_time: float = 0.0
+    position_reference_W: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    velocity_reference_W: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    acceleration_reference_W: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    angular_velocity_reference_B: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    thrust_reference_B: float = 0.0
+    current_battery: float = 0.0
+    attitude_command_W: Tuple[float, float, float, float] = (1.0, 0.0, 0.0, 0.0)
+    angular_velocity_command_B: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    thrust_command_B: float = 0.0
+    thrust_adapt_coefficient: float = 1.0
+
+
+def to_dict(msg):
+    """Recursively convert a message to plain python (JSON-able)."""
+    return dataclasses.asdict(msg)

@@ -1,0 +1,89 @@
+"""Config #5: multi-drone fleet with wind + AIFS_ROS topic bridge."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from agrifly_tpu.io import bridge, messages
+from agrifly_tpu.sim import env, fleet_env
+
+
+def test_fleet_holds_formation_under_wind():
+    base = env.make_params(noise_scale=1.0)
+    params = fleet_env.FleetParams(
+        base=base, wind=fleet_env.make_wind(mean=(2.0, 0.0, 0.0), gust_std=1.0),
+    )
+    n = 4
+    state = fleet_env.init_fleet(params, n, spacing=2.0)
+    des = np.stack([np.array([0.0, 2.0 * i, 1.5]) for i in range(n)])
+    rollout = jax.jit(lambda s: fleet_env.fleet_rollout(params, s, jnp.asarray(des, jnp.float32), 3000))
+    final, _ = rollout(state)
+    pos = np.asarray(final.envs.plant.pos)
+    # each vehicle near its own setpoint despite the wind (small steady error)
+    err = np.linalg.norm(pos - des, axis=-1)
+    assert np.all(err < 0.4), err
+    # no panics across the fleet
+    assert np.all(np.asarray(final.envs.logic.panic_reason) == 0)
+    # wind state evolved (gusts active)
+    assert np.abs(np.asarray(final.wind_vel) - np.array([2.0, 0.0, 0.0])).max() > 1e-3
+
+
+def test_wind_pushes_unpowered_drift():
+    # stronger wind with larger gain visibly displaces a hovering vehicle's
+    # steady-state position vs no wind
+    base = env.make_params(noise_scale=0.0)
+    calm = fleet_env.FleetParams(base=base, wind=fleet_env.make_wind((0.0, 0.0, 0.0), 0.0, 2.0, 0.0))
+    windy = fleet_env.FleetParams(base=base, wind=fleet_env.make_wind((8.0, 0.0, 0.0), 0.0, 2.0, 0.05))
+    des = jnp.asarray([[0.0, 0.0, 1.5]], jnp.float32)
+
+    s0 = fleet_env.init_fleet(calm, 1)
+    f_calm, _ = jax.jit(lambda s: fleet_env.fleet_rollout(calm, s, des, 2500))(s0)
+    s1 = fleet_env.init_fleet(windy, 1)
+    f_wind, _ = jax.jit(lambda s: fleet_env.fleet_rollout(windy, s, des, 2500))(s1)
+
+    x_calm = float(f_calm.envs.plant.pos[0, 0])
+    x_wind = float(f_wind.envs.plant.pos[0, 0])
+    assert abs(x_wind - x_calm) > 0.02, (x_calm, x_wind)
+
+
+def test_bridge_topic_rates_and_content():
+    params = env.make_params(noise_scale=1.0)
+    bus = bridge.TopicBus()
+    received = {}
+
+    def make_cb(name):
+        def cb(msg):
+            received.setdefault(name, []).append(msg)
+        return cb
+
+    for topic in ("simulator_truth1", "mocap_output1", "gps_output1",
+                  "imu_output1", "telemetry1", "estimator1"):
+        bus.subscribe(topic, make_cb(topic))
+
+    b = bridge.SimBridge(params, vehicle_id=1, bus=bus)
+    cmd = env.hover_command((0.0, 0.0, 1.0))
+    b.run(500, cmd)  # 1 s of sim
+
+    # reference cadences (VehicleMonitor bands: mocap 195-205, tel 50-170)
+    assert len(received["simulator_truth1"]) == 500
+    assert len(received["imu_output1"]) == 500
+    assert 195 <= len(received["mocap_output1"]) <= 205
+    assert 95 <= len(received["gps_output1"]) <= 105
+    assert 50 <= len(received["telemetry1"]) <= 170
+    assert 95 <= len(received["estimator1"]) <= 105
+
+    truth = received["simulator_truth1"][-1]
+    assert truth.vehicleID == 1
+    assert truth.posz > 0.0  # lifted off within the first second
+    tel = received["telemetry1"][-1]
+    assert tel.panicReason == 0
+
+    # radio_command input path: inject a kill over the bus schema
+    from agrifly_tpu.io import radio as radio_codec
+
+    raw = radio_codec.fields_to_bytes(radio_codec.TYPE_EMERGENCY_KILL, 0, np.zeros(10, np.int64))
+    bus.publish("radio_command1", messages.RadioCommand(raw=raw + b"\x00" * 9))
+    b.run(100, cmd)
+    from agrifly_tpu.models import logic as onboard
+
+    assert int(b.state.logic.fs) == onboard.FS_KILLED
