@@ -750,3 +750,81 @@ def plan(params: PlannerParams, depth_u16, key, vel0, acc0, grav, goal_cam,
         num_collision_free=ok.sum().astype(jnp.int32),
         num_pyramids=pyrs.valid.sum().astype(jnp.int32),
     )
+
+
+# =============================================================================
+# self-evaluation harnesses (MeasureConservativeness /
+# MeasureCollisionCheckingSpeed parity, DepthImagePlanner.cpp:972-1029)
+# =============================================================================
+
+
+def measure_conservativeness(params: PlannerParams, depth_u16, key, vel0,
+                             acc0, grav, n_traj=128, pyramid_limit=32):
+    """Section IV.A of the RAPPIDS paper: how many trajectories does the
+    pyramid checker mislabel as in-collision vs the ray-sphere oracle?
+
+    Returns (num_incorrect_in_collision, num_correct_in_collision).
+    """
+    import jax as _jax
+
+    from agrifly_tpu.planner import oracle as _oracle
+
+    tr = sample_candidates(params, key, n_traj, vel0, acc0, grav)
+    end = traj_mod.position(tr, tr.tf)
+    epx, epy = project(params.cam, end)
+    pyrs = build_pyramid_set(
+        params, depth_u16, epx, epy, end[:, 2],
+        jnp.ones((n_traj,), bool), pyramid_limit,
+    )
+    free_planner = _jax.vmap(
+        lambda i: is_collision_free(
+            params, pyrs, _jax.tree_util.tree_map(lambda x: x[i], tr))
+    )(jnp.arange(n_traj))
+    free_oracle = _jax.vmap(
+        lambda i: _oracle.is_collision_free_ground_truth(
+            params, depth_u16, _jax.tree_util.tree_map(lambda x: x[i], tr))
+    )(jnp.arange(n_traj))
+
+    collides_planner = ~free_planner
+    collides_oracle = ~free_oracle
+    num_correct = jnp.sum(collides_planner & collides_oracle)
+    num_incorrect = jnp.sum(collides_planner & ~collides_oracle)
+    return num_incorrect.astype(jnp.int32), num_correct.astype(jnp.int32)
+
+
+def measure_collision_checking_speed(params: PlannerParams, depth_u16, key,
+                                     vel0, acc0, grav, n_traj=1024,
+                                     pyramid_limit=32):
+    """Section IV.B parity: wall-clock of the batched collision check.
+
+    Returns (seconds_total, seconds_per_trajectory, pyramids_used). The
+    pyramid build is timed separately from the checks, mirroring the
+    reference's exclusion of pyramid-generation time.
+    """
+    import time as _time
+
+    import jax as _jax
+
+    tr = sample_candidates(params, key, n_traj, vel0, acc0, grav)
+    end = traj_mod.position(tr, tr.tf)
+    epx, epy = project(params.cam, end)
+
+    build = _jax.jit(
+        lambda img: build_pyramid_set(
+            params, img, epx, epy, end[:, 2], jnp.ones((n_traj,), bool),
+            pyramid_limit,
+        )
+    )
+    pyrs = _jax.block_until_ready(build(depth_u16))
+
+    check = _jax.jit(
+        lambda p: _jax.vmap(
+            lambda i: is_collision_free(
+                params, p, _jax.tree_util.tree_map(lambda x: x[i], tr))
+        )(jnp.arange(n_traj))
+    )
+    _jax.block_until_ready(check(pyrs))  # compile
+    t0 = _time.perf_counter()
+    out = _jax.block_until_ready(check(pyrs))
+    dt = _time.perf_counter() - t0
+    return dt, dt / n_traj, int(pyrs.valid.sum())
