@@ -150,3 +150,25 @@ def pack_bytes(ptype: int, packet_number: int, data: np.ndarray) -> bytes:
 def unpack_bytes(raw: bytes):
     b = np.frombuffer(raw, np.uint8)
     return int(b[0]), int(b[1]), b[2:30].view(np.uint16).astype(np.int32)
+
+
+def encode_float_packet(floats) -> TelemetryPackets:
+    """Generic float packet: up to 14 floats in [-1,1]
+    (TelemetryPacket.hpp:243-268). Returns a packet pair with data2 unused."""
+    floats = jnp.asarray(floats, jnp.float32)
+    n = floats.shape[0]
+    padded = jnp.zeros(14, jnp.float32).at[:n].set(floats[:14])
+    codes = encode_ones(padded)
+    # unused trailing slots encode 0.0 (valid), matching the reference fill
+    return TelemetryPackets(
+        type1=jnp.int32(PACKET_TYPE_GENERIC_FLOAT),
+        type2=jnp.int32(PACKET_TYPE_GENERIC_FLOAT),
+        packet_number=jnp.int32(0),
+        data1=codes.astype(jnp.int32),
+        data2=jnp.zeros(14, jnp.int32),
+    )
+
+
+def decode_float_packet(pkts: TelemetryPackets, num_floats=14):
+    """Inverse of encode_float_packet (values in [-1,1]; 0-code -> NaN)."""
+    return decode_ones(pkts.data1[:num_floats])

@@ -167,6 +167,9 @@ class LogicState(NamedTuple):
     # battery
     batt_voltage: jnp.ndarray
     batt_current: jnp.ndarray
+    # motor test mode (TestMotors, QuadcopterLogic.hpp:236-239)
+    test_motors_on: jnp.ndarray  # bool
+    test_motors_frac: jnp.ndarray  # f32 thrust fraction of hover weight
     # misc
     tel_counter: jnp.ndarray  # int32
     debug: jnp.ndarray  # (6,)
@@ -302,6 +305,8 @@ def init_state(p: LogicParams) -> LogicState:
         should_write_params=jnp.bool_(False),
         batt_voltage=jnp.float32(0.0),
         batt_current=jnp.float32(-1.0),
+        test_motors_on=jnp.bool_(False),
+        test_motors_frac=jnp.float32(0.0),
         tel_counter=jnp.int32(0),
         debug=jnp.zeros(6, jnp.float32),
     )
@@ -509,6 +514,15 @@ def logic_step(p: LogicParams, s: LogicState, u: LogicInputs):
     )
     speeds = jnp.where(zero_out, jnp.zeros(4, jnp.float32), speeds)
     forces = jnp.where(zero_out, jnp.zeros(4, jnp.float32), forces)
+
+    # motor test mode overrides the state machine (QuadcopterLogic.cpp:181-191)
+    torque_test = controllers.angvel_control(
+        p.angvel_tc_xy, p.angvel_tc_z, p.inertia, jnp.zeros(3, jnp.float32), est_angvel
+    )
+    forces_test = mixer.motor_forces(p, s.test_motors_frac * 9.81 * p.mass, torque_test)
+    speeds_test = mixer.speeds_from_forces(p, forces_test, s.prop_cal_factors)
+    forces = jnp.where(s.test_motors_on, forces_test, forces)
+    speeds = jnp.where(s.test_motors_on, speeds_test, speeds)
 
     # ---------------- propeller calibration (cpp:543-588) ----------------
     in_rates = fs == FS_EXTERNAL_RATES_CONTROL

@@ -828,3 +828,68 @@ def measure_collision_checking_speed(params: PlannerParams, depth_u16, key,
     out = _jax.block_until_ready(check(pyrs))
     dt = _time.perf_counter() - t0
     return dt, dt / n_traj, int(pyrs.valid.sum())
+
+
+def exploration_direction_cost(tr: traj_mod.Traj, direction):
+    """Direction-based cost (DepthImagePlanner.hpp:486-515 default variant
+    used by FindFastestTrajRandomCandidates): reward distance traveled along
+    `direction` per unit time."""
+    d = jnp.asarray(direction, jnp.float32)
+    d = d / jnp.linalg.norm(d)
+    end = traj_mod.position(tr, tr.tf)
+    return -(end * d).sum(-1) / tr.tf
+
+
+def find_fastest_trajectory(params: PlannerParams, depth_u16, key, vel0, acc0,
+                            grav, exploration_direction, n_candidates=512,
+                            pyramid_capacity=32, rounds=2):
+    """FindFastestTrajRandomCandidates parity: plan with the direction cost."""
+    tr = sample_candidates(params, key, n_candidates, vel0, acc0, grav)
+    cost = exploration_direction_cost(tr, exploration_direction)
+
+    feas = traj_mod.check_input_feasibility(
+        tr, grav, params.fmin, params.fmax, params.wmax,
+        float(params.min_section_time),
+    )
+    vel_ok = traj_mod.check_velocity_feasibility(tr, params.vmax)
+    gate = feas & vel_ok
+
+    end = traj_mod.position(tr, tr.tf)
+    epx, epy = project(params.cam, end)
+    order = jnp.argsort(jnp.where(gate, cost, jnp.inf))
+    per_round = pyramid_capacity // rounds
+    pyrs = empty_pyramid_set(pyramid_capacity)
+    for rnd in range(rounds):
+        take = order[rnd * per_round : (rnd + 1) * per_round]
+        seed_valid = gate[take]
+        if rnd > 0:
+            f, _ = jax.vmap(lambda x, y, d: find_containing_pyramid(pyrs, x, y, d))(
+                epx[take], epy[take], end[take][:, 2]
+            )
+            seed_valid = seed_valid & ~f
+        new_pyrs = build_pyramid_set(
+            params, depth_u16, epx[take], epy[take], end[take][:, 2],
+            seed_valid, per_round,
+        )
+        pyrs = merge_pyramid_sets(pyrs, new_pyrs) if rnd > 0 else merge_pyramid_sets(
+            empty_pyramid_set(pyramid_capacity - per_round), new_pyrs
+        )
+
+    collision_free = jax.vmap(
+        lambda i: is_collision_free(params, pyrs, jax.tree_util.tree_map(lambda x: x[i], tr))
+    )(jnp.arange(n_candidates))
+
+    ok = gate & collision_free
+    best_cost = jnp.where(ok, cost, jnp.inf)
+    best_idx = jnp.argmin(best_cost)
+    return PlanResult(
+        found=jnp.any(ok),
+        best_idx=best_idx,
+        best_cost=best_cost[best_idx],
+        traj=jax.tree_util.tree_map(lambda x: x[best_idx], tr),
+        num_candidates=jnp.int32(n_candidates),
+        num_feasible=feas.sum().astype(jnp.int32),
+        num_velocity_admissible=(feas & vel_ok).sum().astype(jnp.int32),
+        num_collision_free=ok.sum().astype(jnp.int32),
+        num_pyramids=pyrs.valid.sum().astype(jnp.int32),
+    )

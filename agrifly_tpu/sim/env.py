@@ -71,6 +71,8 @@ class EnvState(NamedTuple):
     last_cmd_angvel: jnp.ndarray  # (3,)
     mocap: "object"  # estimators.MocapEstState
     mocap_acc_us: jnp.ndarray  # int32 periodic accumulator
+    gpsimu: "object"  # ekf.EkfState (offboard GPS-IMU estimator)
+    gps_acc_us: jnp.ndarray  # int32 periodic accumulator (100 Hz GPS)
     uwb: "object" = None  # Optional[uwb.UwbState]
 
 
@@ -144,6 +146,8 @@ def init_state(params: EnvParams, key, pos=(0.0, 0.0, 0.0)) -> EnvState:
         last_cmd_angvel=jnp.zeros(3, jnp.float32),
         mocap=estimators.mocap_init(),
         mocap_acc_us=jnp.int32(0),
+        gpsimu=estimators.gpsimu_init(),
+        gps_acc_us=jnp.int32(0),
         uwb=uwb_state,
     )
 
@@ -238,10 +242,22 @@ def physics_tick(s: EnvState, params: EnvParams, ext_force, ext_torque,
 
     now_us = (s.step + 1) * params.dt_us  # master time after this tick
 
-    # 5a. mocap measurement stream (200 Hz, perfect pose like the demo)
+    # 5a. estimator update streams
+    # use_estimator: False = perfect state; True/"mocap" = 200 Hz mocap KF;
+    # "gpsimu" = IMU-driven EKF + 100 Hz GPS fix (quad_gps_rates_control)
+    est_mode = {False: "true", True: "mocap"}.get(use_estimator, use_estimator)
     mocap = s.mocap
     mocap_acc = s.mocap_acc_us + params.dt_us
-    if use_estimator:
+    gpsimu = s.gpsimu
+    gps_acc = s.gps_acc_us + params.dt_us
+    if est_mode == "gpsimu":
+        gpsimu = estimators.gpsimu_predict(
+            gpsimu, acc_meas, gyro_meas, params.dt_us.astype(jnp.float32) * 1e-6
+        )
+        gfire = gps_acc > jnp.int32(10000)  # 100 Hz GPS
+        gps_acc = jnp.where(gfire, gps_acc - 10000, gps_acc)
+        gpsimu = estimators.gps_position_update(gpsimu, new_plant.pos, gfire)
+    if est_mode == "mocap":
         mfire = mocap_acc > params.mocap_period_us
         mocap_acc = jnp.where(mfire, mocap_acc - params.mocap_period_us, mocap_acc)
         mocap_upd = estimators.mocap_update(
@@ -251,9 +267,13 @@ def physics_tick(s: EnvState, params: EnvParams, ext_force, ext_torque,
             lambda u, o: jnp.where(mfire, u, o), mocap_upd, mocap
         )
 
-    if use_estimator:
+    if est_mode == "mocap":
         est_pos, est_vel, est_att, est_angvel = estimators.mocap_get_prediction(
             mocap, now_us, params.est_latency_us
+        )
+    elif est_mode == "gpsimu":
+        est_pos, est_vel, est_att, est_angvel = (
+            gpsimu.pos, gpsimu.vel, gpsimu.att, gpsimu.angvel
         )
     else:
         est_pos, est_vel, est_att = new_plant.pos, new_plant.vel, new_plant.att
@@ -261,7 +281,8 @@ def physics_tick(s: EnvState, params: EnvParams, ext_force, ext_torque,
 
     return dict(
         plant=new_plant, logic=new_logic, ring=ring, key=key,
-        uwb=uwb_state, mocap=mocap, mocap_acc_us=mocap_acc, now_us=now_us,
+        uwb=uwb_state, mocap=mocap, mocap_acc_us=mocap_acc,
+        gpsimu=gpsimu, gps_acc_us=gps_acc, now_us=now_us,
         est=(est_pos, est_vel, est_att, est_angvel),
     )
 
@@ -298,7 +319,8 @@ def _offboard_and_finish(params: EnvParams, s: EnvState, cmd: Command, half,
         raise ValueError(f"unknown ctrl_mode {ctrl_mode}")
     ring = delayline.push(ring, rtype, rflags, rfields, s.step, fire)
 
-    if use_estimator:
+    est_mode = {False: "true", True: "mocap"}.get(use_estimator, use_estimator)
+    if est_mode == "mocap":
         # close the latency-compensation loop: commanded (angvel, acc) enter
         # the prediction pipe, becoming active after the transport delay
         pred_acc = rot.rotate(est_att, jnp.array([0.0, 0.0, 1.0], jnp.float32)) * cmd_thrust \
@@ -314,7 +336,8 @@ def _offboard_and_finish(params: EnvParams, s: EnvState, cmd: Command, half,
         plant=new_plant, logic=new_logic, ring=ring,
         offboard_acc_us=acc_us, step=s.step + 1, key=half["key"],
         last_cmd_thrust=last_thrust, last_cmd_angvel=last_angvel,
-        mocap=mocap, mocap_acc_us=half["mocap_acc_us"], uwb=half["uwb"],
+        mocap=mocap, mocap_acc_us=half["mocap_acc_us"],
+        gpsimu=half["gpsimu"], gps_acc_us=half["gps_acc_us"], uwb=half["uwb"],
     )
     outputs = StepOutputs(
         pos=new_plant.pos, vel=new_plant.vel, att=new_plant.att,
