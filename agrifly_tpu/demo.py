@@ -1,0 +1,115 @@
+"""End-to-end demo: the agrifly.launch equivalent.
+
+`python -m agrifly_tpu.demo` flies the full perception-plan-act loop —
+takeoff, RAPPIDS planning against the on-device rendered orchard, receding-
+horizon tracking — and prints a vehicle_monitor-style status line per
+second of sim time. Optionally writes the demo CSV log and a checkpoint.
+
+Flags:
+  --frames N        number of 32 ms frames to fly (default 300 ~ 10 s)
+  --goal X Y Z      goal in world frame (default 120 0 3.5)
+  --seed S          orchard world seed
+  --image WxH       depth image size (default 640x480)
+  --candidates N    RAPPIDS candidates per frame (default 256)
+  --csv PATH        write flight CSV
+  --ckpt PATH       write final-state checkpoint
+  --cpu             force CPU (small image recommended)
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--frames", type=int, default=300)
+    ap.add_argument("--goal", type=float, nargs=3, default=(120.0, 0.0, 3.5))
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--image", type=str, default="640x480")
+    ap.add_argument("--candidates", type=int, default=256)
+    ap.add_argument("--csv", type=str, default=None)
+    ap.add_argument("--ckpt", type=str, default=None)
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args(argv)
+
+    if args.cpu:
+        import os
+
+        os.environ["JAX_PLATFORMS"] = "cpu"
+
+    import jax
+    import numpy as np
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    from agrifly_tpu.models import logic as onboard
+    from agrifly_tpu.sim import orchard_env
+
+    w, h = (int(x) for x in args.image.split("x"))
+    on_tpu = jax.devices()[0].platform != "cpu"
+    params = orchard_env.make_params(
+        goal_world=tuple(args.goal),
+        width=w, height=h,
+        n_candidates=args.candidates,
+        seed=args.seed,
+        use_pallas=on_tpu,
+    )
+    state = orchard_env.init_state(params, jax.random.PRNGKey(args.seed))
+
+    frames_per_block = 31  # ~1 s of sim time
+    fly_block = jax.jit(lambda s: orchard_env.fly(params, s, frames_per_block))
+
+    print(f"agrifly_tpu demo: {jax.devices()[0].platform} backend, "
+          f"{w}x{h} depth, goal {tuple(args.goal)}")
+    t_wall = time.perf_counter()
+    blocks = max(1, args.frames // frames_per_block)
+    for b in range(blocks):
+        state, outs = fly_block(state)
+        jax.block_until_ready(state)
+        pos = np.asarray(state.base.plant.pos)
+        fs = int(state.base.logic.fs)
+        panic = int(state.base.logic.panic_reason)
+        plans = int(state.plan_count)
+        sim_t = int(state.base.step) * 0.002
+        print(
+            f"t={sim_t:6.2f}s pos=({pos[0]:7.2f},{pos[1]:6.2f},{pos[2]:5.2f}) "
+            f"fs={fs} panic={onboard.PANIC_REASON_NAMES.get(panic, panic)} "
+            f"plans={plans}"
+        )
+        if panic != 0:
+            print("PANIC — aborting")
+            break
+    wall = time.perf_counter() - t_wall
+    sim_time = int(state.base.step) * 0.002
+    print(f"flew {sim_time:.1f}s of sim time in {wall:.1f}s wall "
+          f"({sim_time / wall:.2f}x realtime incl. compile)")
+
+    if args.csv:
+        # re-fly a short segment recording outputs for the CSV
+        from agrifly_tpu.utils import simlog
+
+        _, outs = fly_block(state)
+        import types
+
+        traj = types.SimpleNamespace(
+            pos=outs["pos"], vel=outs["vel"], att=outs["att"],
+            angvel=np.zeros_like(np.asarray(outs["vel"])),
+            motor_speeds=np.zeros((np.asarray(outs["pos"]).shape[0], 4)),
+            panic_reason=outs["panic"],
+        )
+        simlog.write_rollout_csv(args.csv, traj, dt=params.steps_per_frame * 0.002)
+        print(f"wrote {args.csv}")
+    if args.ckpt:
+        from agrifly_tpu.utils import checkpoint
+
+        kind = checkpoint.save(args.ckpt, state)
+        print(f"checkpoint saved ({kind}): {args.ckpt}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

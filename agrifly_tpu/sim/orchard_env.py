@@ -231,7 +231,8 @@ def _sim_tick(params: OrchardEnvParams, s: OrchardEnvState) -> OrchardEnvState:
         offboard_acc_us=acc_us, step=base.step + 1, key=half["key"],
         last_cmd_thrust=jnp.where(fire, cmd_thrust, base.last_cmd_thrust),
         last_cmd_angvel=jnp.where(fire, cmd_angvel, base.last_cmd_angvel),
-        mocap=mocap, mocap_acc_us=half["mocap_acc_us"], uwb=half["uwb"],
+        mocap=mocap, mocap_acc_us=half["mocap_acc_us"],
+        gpsimu=half["gpsimu"], gps_acc_us=half["gps_acc_us"], uwb=half["uwb"],
     )
     return s._replace(base=new_base)
 
