@@ -193,12 +193,15 @@ def _pyramid_from_edges(cam: CameraModel, right, top, left, bottom, depth):
     return bounds, normals
 
 
-def inflate_pyramid(params: PlannerParams, depth_u16, x0, y0, min_depth):
+def inflate_pyramid(params: PlannerParams, depth_u16, x0, y0, min_depth,
+                    shrink_extra: int = 0):
     """Grow + shrink one pyramid around sample pixel (x0, y0) at depth
     min_depth. Returns (valid, depth, bounds(4,), normals(4,3)).
 
     depth_u16: (H, W) int32 depth codes. See module docstring for how the
-    sequential spiral becomes prefix-sum lookups.
+    sequential spiral becomes prefix-sum lookups. shrink_extra adds a
+    conservative pixel margin to every shrink/offset distance (used by the
+    down-sampled inflation path to absorb pooled-coordinate rounding).
     """
     cam = params.cam
     W, H = cam.width, cam.height
@@ -208,7 +211,7 @@ def inflate_pyramid(params: PlannerParams, depth_u16, x0, y0, min_depth):
     y0i = jnp.asarray(y0, jnp.int32)
     img = depth_u16.astype(jnp.int32)
 
-    edge_off = (cam.focal * params.true_radius / params.min_check_dist).astype(jnp.int32)
+    edge_off = (cam.focal * params.true_radius / params.min_check_dist).astype(jnp.int32) + shrink_extra
     ok = ~(
         (x0i <= edge_off + PIXEL_BUFFER + 1)
         | (x0i > W - edge_off - PIXEL_BUFFER - 1)
@@ -292,7 +295,7 @@ def inflate_pyramid(params: PlannerParams, depth_u16, x0, y0, min_depth):
     numer = (cam.focal * params.plan_radius / scale).astype(jnp.int32)
     relevant = (img > ignore) & (img < max_depth_expanded)
     safe_img = jnp.maximum(img, 1)
-    shrink_px = numer // safe_img  # int(numerator / pixDist), (H, W)
+    shrink_px = numer // safe_img + shrink_extra  # int(numerator / pixDist), (H, W)
 
     BIG = jnp.int32(1 << 20)
 
@@ -457,12 +460,41 @@ def inflate_pyramid(params: PlannerParams, depth_u16, x0, y0, min_depth):
 
 
 def build_pyramid_set(params: PlannerParams, depth_u16, seed_px, seed_py,
-                      seed_depth, seed_valid, capacity) -> PyramidSet:
-    """Inflate pyramids at up to `capacity` seeds (vmapped), depth-sorted."""
-    n = seed_px.shape[0]
+                      seed_depth, seed_valid, capacity,
+                      downsample: int = 1) -> PyramidSet:
+    """Inflate pyramids at up to `capacity` seeds (vmapped), depth-sorted.
+
+    downsample k > 1 runs the inflation on a k x k masked-min-pooled image
+    with a scaled camera: any partially blocked pooled cell blocks, the
+    base depth is the exact full-res minimum, and a +1-pooled-pixel margin
+    absorbs coordinate rounding — strictly conservative, ~k^2 cheaper.
+    Output pixel bounds are rescaled to full-resolution coordinates.
+    """
+    cam = params.cam
+    img = depth_u16.astype(jnp.int32)
+    work_params = params
+    k = int(downsample)
+    if k > 1:
+        H, W = cam.height, cam.width
+        BIGD = jnp.int32(1 << 17)
+        ignore = (params.true_radius / cam.depth_scale).astype(jnp.int32)
+        masked = jnp.where(img > ignore, img, BIGD)
+        pooled = masked.reshape(H // k, k, W // k, k).min(axis=(1, 3))
+        img = pooled
+        cam_small = CameraModel(
+            focal=cam.focal / k, cx=cam.cx / k, cy=cam.cy / k,
+            width=W // k, height=H // k, depth_scale=cam.depth_scale,
+        )
+        work_params = params._replace(cam=cam_small)
+        seed_px = seed_px / k
+        seed_py = seed_py / k
+
+    shrink_extra = 1 if k > 1 else 0
     ok, depth, bounds, normals = jax.vmap(
-        lambda x, y, d: inflate_pyramid(params, depth_u16, x, y, d)
+        lambda x, y, d: inflate_pyramid(work_params, img, x, y, d, shrink_extra)
     )(seed_px.astype(jnp.int32), seed_py.astype(jnp.int32), seed_depth)
+    if k > 1:
+        bounds = bounds * k
     ok = ok & seed_valid
     depth = jnp.where(ok, depth, jnp.inf)
     order = jnp.argsort(depth)
@@ -687,7 +719,8 @@ class PlanResult(NamedTuple):
 
 
 def plan(params: PlannerParams, depth_u16, key, vel0, acc0, grav, goal_cam,
-         n_candidates=512, pyramid_capacity=32, rounds=2):
+         n_candidates=512, pyramid_capacity=32, rounds=2,
+         inflation_downsample=1):
     """One planning call: sample, gate, build pyramids, pick the best.
 
     All arguments are camera-frame (the caller rotates world state by the
@@ -723,7 +756,7 @@ def plan(params: PlannerParams, depth_u16, key, vel0, acc0, grav, goal_cam,
             seed_valid = seed_valid & ~f
         new_pyrs = build_pyramid_set(
             params, depth_u16, epx[take], epy[take], end[take][:, 2],
-            seed_valid, per_round,
+            seed_valid, per_round, downsample=inflation_downsample,
         )
         pyrs = merge_pyramid_sets(pyrs, new_pyrs) if rnd > 0 else merge_pyramid_sets(
             empty_pyramid_set(pyramid_capacity - per_round), new_pyrs

@@ -53,6 +53,7 @@ class OrchardEnvParams(NamedTuple):
     n_candidates: int  # static
     pyramid_capacity: int  # static
     planner_rounds: int  # static
+    inflation_downsample: int  # static: pooled pyramid inflation factor
     use_pallas: bool  # static
     track_lookahead: jnp.ndarray  # 0.04 s (main.cpp:571)
 
@@ -98,6 +99,7 @@ def make_params(
     n_candidates=256,
     pyramid_capacity=32,
     planner_rounds=2,
+    inflation_downsample=2,
     use_pallas=True,
     width=640, height=480,
     seed=0,
@@ -125,6 +127,7 @@ def make_params(
         n_candidates=int(n_candidates),
         pyramid_capacity=int(pyramid_capacity),
         planner_rounds=int(planner_rounds),
+        inflation_downsample=int(inflation_downsample),
         use_pallas=bool(use_pallas),
         track_lookahead=jnp.float32(0.04),
     )
@@ -281,6 +284,7 @@ def frame_step(params: OrchardEnvParams, s: OrchardEnvState):
         n_candidates=params.n_candidates,
         pyramid_capacity=params.pyramid_capacity,
         rounds=params.planner_rounds,
+        inflation_downsample=params.inflation_downsample,
     )
 
     in_flight = base.step >= params.start_flight_step

@@ -163,3 +163,29 @@ def test_plan_avoids_post(params):
     in_stripe = 70 - 3 < float(px) < 90 + 3
     behind = end[2] > 1.8 - float(params.plan_radius)
     assert not (in_stripe and behind), (float(px), end)
+
+
+def test_downsampled_inflation_conservative(params):
+    """Pooled inflation must stay conservative vs the oracle and produce
+    pyramids no larger than the full-res ones."""
+    img = scene_with_post(post_depth_m=2.0, post_x=(70, 90))
+    n = 64
+    tr = rappids.sample_candidates(params, jax.random.PRNGKey(4), n,
+                                   jnp.zeros(3), jnp.zeros(3), GRAV)
+    feas = traj_mod.check_input_feasibility(tr, GRAV, 5.0, 30.0, 20.0)
+    end = traj_mod.position(tr, tr.tf)
+    epx, epy = rappids.project(params.cam, end)
+
+    pyrs = rappids.build_pyramid_set(params, img, epx, epy, end[:, 2], feas,
+                                     32, downsample=2)
+    free_planner = jax.vmap(
+        lambda i: rappids.is_collision_free(
+            params, pyrs, jax.tree_util.tree_map(lambda x: x[i], tr))
+    )(jnp.arange(n))
+    free_oracle = jax.vmap(
+        lambda i: oracle.is_collision_free_ground_truth(
+            params, img, jax.tree_util.tree_map(lambda x: x[i], tr))
+    )(jnp.arange(n))
+    fp, fo = np.asarray(free_planner), np.asarray(free_oracle)
+    assert (fp & ~fo).sum() == 0
+    assert fp.sum() > 0  # still useful
