@@ -196,3 +196,77 @@ class SimBridge:
                     angvelx=e_av[0], angvely=e_av[1], angvelz=e_av[2],
                 ),
             )
+
+
+class MessageRecorder:
+    """rosbag_record_airsim.sh equivalent: record every published message
+    on selected topics to a JSONL file (images excluded, like the script's
+    compressed-image exclusion)."""
+
+    def __init__(self, bus: TopicBus, path, topics=None, exclude=("depthImage", "rgbImage")):
+        import json
+
+        self._json = json
+        self._f = open(path, "w")
+        self._bus = bus
+        self.count = 0
+        # subscribe lazily to everything seen: TopicBus has explicit topics,
+        # so the caller lists them (or uses record_topic per publish site)
+        if topics:
+            for t in topics:
+                if not any(x in t for x in exclude):
+                    self.record_topic(t)
+
+    def record_topic(self, topic):
+        def cb(msg):
+            self.count += 1
+            self._f.write(
+                self._json.dumps({"topic": topic, "msg": msgs.to_dict(msg)})
+                + "\n"
+            )
+
+        self._bus.subscribe(topic, cb)
+
+    def close(self):
+        self._f.close()
+
+
+def plan_result_to_diagnostics(res, seed, vel_cam, acc_cam, grav_cam, goal_world,
+                               reset_time, stamp) -> msgs.PlannerDiagnostics:
+    """PlanResult -> planner_diagnostics message (schema parity with
+    QuadRappidsPlannerAndController's publisher)."""
+    import numpy as np
+
+    tr = res.traj
+    coeffs = [
+        tuple(np.asarray(tr.alpha) / 120.0),
+        tuple(np.asarray(tr.beta) / 24.0),
+        tuple(np.asarray(tr.gamma) / 6.0),
+        tuple(np.asarray(tr.a0) / 2.0),
+        tuple(np.asarray(tr.v0)),
+        tuple(np.asarray(tr.p0)),
+    ]
+    return msgs.PlannerDiagnostics(
+        header=msgs.Header(stamp=stamp),
+        random_seed=int(seed),
+        velocity_D=tuple(np.asarray(vel_cam)),
+        acceleration_D=tuple(np.asarray(acc_cam)),
+        gravity_D=tuple(np.asarray(grav_cam)),
+        goal_W=tuple(np.asarray(goal_world)),
+        trajectory_id=int(seed),
+        planner_statistics=msgs.PlannerStatistics(
+            trajectory_found=bool(res.found),
+            NumCollisionFree=int(res.num_collision_free),
+            NumPyramids=int(res.num_pyramids),
+            NumVelocityChecks=int(res.num_velocity_admissible),
+            NumCollisionChecks=int(res.num_velocity_admissible),
+            NumCostChecks=int(res.num_feasible),
+            NumTrajectoriesGenerated=int(res.num_candidates),
+        ),
+        trajectory_parameters_D=msgs.PolynomialTrajectory(
+            coeff0=coeffs[0], coeff1=coeffs[1], coeff2=coeffs[2],
+            coeff3=coeffs[3], coeff4=coeffs[4], coeff5=coeffs[5],
+            duration=float(tr.tf),
+        ),
+        trajectory_reset_time=float(reset_time),
+    )

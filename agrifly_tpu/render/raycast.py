@@ -172,3 +172,127 @@ def render_depth_body(cfg: RenderConfig, scene: orch.OrchardParams,
                       body_pos, body_att):
     """Render from a vehicle pose (applies the depth-camera mount)."""
     return render_depth(cfg, scene, body_pos, camera_attitude(body_att))
+
+
+# =============================================================================
+# RGB rendering (the air_sim_bridge's second image stream)
+# =============================================================================
+
+MAT_SKY = 0
+MAT_GROUND = 1
+MAT_TRUNK = 2
+MAT_CANOPY = 3
+
+# material base colors (RGB, 0..1)
+_COLORS = jnp.array(
+    [
+        [0.62, 0.78, 0.95],  # sky
+        [0.45, 0.38, 0.25],  # orchard soil
+        [0.35, 0.22, 0.12],  # trunk bark
+        [0.18, 0.45, 0.15],  # canopy leaves
+    ],
+    jnp.float32,
+)
+_SUN = jnp.array([0.45, 0.2, 0.87], jnp.float32)  # unit-ish sun direction
+
+
+def render_rgb(cfg: RenderConfig, scene: orch.OrchardParams, cam_pos, cam_att):
+    """Shaded RGB frame from the same scene/geometry as the depth pass.
+
+    Lambertian shading with analytic normals (ground +z, trunk radial,
+    canopy sphere normals) and a simple sky. Returns (H, W, 3) uint8.
+    Parity stand-in for the reference's Unity Scene image (ImageType 0).
+    """
+    d_cam = _ray_dirs(cfg)
+    R = rot.to_matrix(cam_att)
+    d = jnp.einsum("ij,hwj->hwi", R, d_cam)
+    o = jnp.broadcast_to(cam_pos, d.shape)
+
+    dz = d[..., 2]
+    t_ground = -o[..., 2] / jnp.where(jnp.abs(dz) < 1e-9, 1e-9, dz)
+    t_ground = jnp.where((t_ground > 0) & (dz != 0), t_ground, BIG)
+
+    best = t_ground
+    mat = jnp.where(t_ground < BIG, MAT_GROUND, MAT_SKY).astype(jnp.int32)
+    hit_ix = jnp.zeros(best.shape, jnp.int32)
+    hit_iy = jnp.zeros(best.shape, jnp.int32)
+
+    sx = scene.tree_spacing
+    sy = scene.row_spacing
+    fx = o[..., 0] / sx
+    fy = o[..., 1] / sy
+    ix = jnp.floor(fx).astype(jnp.int32)
+    iy = jnp.floor(fy).astype(jnp.int32)
+    gdx = d[..., 0] / sx
+    gdy = d[..., 1] / sy
+    step_x = jnp.where(gdx >= 0, 1, -1).astype(jnp.int32)
+    step_y = jnp.where(gdy >= 0, 1, -1).astype(jnp.int32)
+    inv_dx = 1.0 / jnp.where(jnp.abs(gdx) < 1e-9, jnp.where(gdx >= 0, 1e-9, -1e-9), gdx)
+    inv_dy = 1.0 / jnp.where(jnp.abs(gdy) < 1e-9, jnp.where(gdy >= 0, 1e-9, -1e-9), gdy)
+    next_x = (ix.astype(jnp.float32) + (step_x > 0) - fx) * inv_dx
+    next_y = (iy.astype(jnp.float32) + (step_y > 0) - fy) * inv_dy
+    t_dx = jnp.abs(inv_dx)
+    t_dy = jnp.abs(inv_dy)
+
+    def visit(carry, _):
+        ix, iy, next_x, next_y, best, mat, hix, hiy = carry
+        tree = orch.tree_at_cell(scene, ix, iy)
+        t_trunk = _cylinder_hit(o, d, tree.trunk_center, tree.trunk_radius, tree.trunk_height)
+        t_c1 = _sphere_hit(o, d, tree.canopy_center, tree.canopy_radius)
+        t_c2 = _sphere_hit(o, d, tree.canopy2_center, tree.canopy2_radius)
+        t_tree = jnp.minimum(t_trunk, jnp.minimum(t_c1, t_c2))
+        t_tree = jnp.where(tree.present, t_tree, BIG)
+        is_trunk = t_trunk <= jnp.minimum(t_c1, t_c2)
+        closer = t_tree < best
+        best = jnp.where(closer, t_tree, best)
+        mat = jnp.where(closer, jnp.where(is_trunk, MAT_TRUNK, MAT_CANOPY), mat)
+        hix = jnp.where(closer, ix, hix)
+        hiy = jnp.where(closer, iy, hiy)
+        go_x = next_x <= next_y
+        ix = jnp.where(go_x, ix + step_x, ix)
+        iy = jnp.where(go_x, iy, iy + step_y)
+        next_x = jnp.where(go_x, next_x + t_dx, next_x)
+        next_y = jnp.where(go_x, next_y, next_y + t_dy)
+        return (ix, iy, next_x, next_y, best, mat, hix, hiy), None
+
+    carry = (ix, iy, next_x, next_y, best, mat, hit_ix, hit_iy)
+    (ix, iy, next_x, next_y, best, mat, hit_ix, hit_iy), _ = jax.lax.scan(
+        visit, carry, None, length=cfg.dda_steps
+    )
+
+    # hit point + analytic normals
+    hit = o + best[..., None] * d
+    tree = orch.tree_at_cell(scene, hit_ix, hit_iy)
+    n_ground = jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0], jnp.float32), hit.shape)
+    radial = hit[..., :2] - tree.trunk_center
+    rn = jnp.linalg.norm(radial, axis=-1, keepdims=True)
+    n_trunk = jnp.concatenate(
+        [radial / jnp.where(rn < 1e-9, 1.0, rn), jnp.zeros_like(rn)], axis=-1
+    )
+    c1 = hit - tree.canopy_center
+    c2 = hit - tree.canopy2_center
+    use2 = (jnp.linalg.norm(c2, axis=-1) / jnp.maximum(tree.canopy2_radius, 1e-6)
+            < jnp.linalg.norm(c1, axis=-1) / jnp.maximum(tree.canopy_radius, 1e-6))
+    n_can = jnp.where(use2[..., None], c2, c1)
+    nn = jnp.linalg.norm(n_can, axis=-1, keepdims=True)
+    n_can = n_can / jnp.where(nn < 1e-9, 1.0, nn)
+
+    normal = jnp.where(
+        (mat == MAT_TRUNK)[..., None], n_trunk,
+        jnp.where((mat == MAT_CANOPY)[..., None], n_can, n_ground),
+    )
+    sun = _SUN / jnp.linalg.norm(_SUN)
+    lambert = jnp.clip((normal * sun).sum(-1), 0.0, 1.0)
+    shade = 0.35 + 0.65 * lambert
+
+    base = _COLORS[mat]
+    # distance haze toward the sky color
+    haze = jnp.clip(best / cfg.far, 0.0, 1.0)[..., None] * 0.35
+    color = base * shade[..., None]
+    color = jnp.where((mat == MAT_SKY)[..., None], _COLORS[MAT_SKY], color)
+    color = color * (1 - haze) + _COLORS[MAT_SKY] * haze
+    return jnp.clip(color * 255.0, 0, 255).astype(jnp.uint8)
+
+
+def render_rgb_body(cfg: RenderConfig, scene: orch.OrchardParams, body_pos, body_att):
+    return render_rgb(cfg, scene, body_pos, camera_attitude(body_att))

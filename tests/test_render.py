@@ -79,3 +79,24 @@ def test_deterministic_scene():
     scene2 = orchard.make_params(seed=12)
     c = np.asarray(raycast.render_depth_body(CFG, scene2, pos, rot.identity()))
     assert not np.array_equal(a, c)
+
+
+def test_rgb_render():
+    scene = orchard.make_params(presence=1.0, clear_radius=2.0, seed=3)
+    pos = jnp.array([0.0, 0.0, 1.5], jnp.float32)
+    img = np.asarray(raycast.render_rgb_body(CFG, scene, pos, rot.identity()))
+    assert img.shape == (120, 160, 3) and img.dtype == np.uint8
+    # sky at top (bluish: B > R), something non-sky below
+    assert img[5, 80, 2] > img[5, 80, 0]
+    # pure-sky pixels in the RGB image must be beyond the far plane in depth
+    depth = np.asarray(raycast.render_depth_body(CFG, scene, pos, rot.identity()))
+    sky_color = np.asarray(raycast._COLORS[0] * 255).astype(np.uint8)
+    sky_rgb = np.all(img == sky_color, axis=-1)
+    assert sky_rgb.any()
+    assert np.all(depth[sky_rgb] == 255)
+    # near-field content is visibly not sky-colored
+    near = depth < 100
+    assert near.any()
+    ys, xs = np.where(near)
+    diff = np.abs(img[ys, xs].astype(int) - sky_color.astype(int)).max()
+    assert diff > 20
