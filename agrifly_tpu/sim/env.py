@@ -167,14 +167,10 @@ def step(params: EnvParams, s: EnvState, cmd: Command, use_estimator: bool = Fal
     return _offboard_and_finish(params, s, cmd, half, use_estimator, ctrl_mode)
 
 
-def physics_tick(s: EnvState, params: EnvParams, ext_force, ext_torque,
-                 use_estimator: bool):
-    """Steps 1-5a of one tick: radio delivery, plant, IMU, UWB, onboard
-    logic, mocap estimator update. Shared by env.step and the orchard env
-    (which replaces the offboard block with trajectory tracking).
-
-    Returns a dict with the partial new state + estimator output.
-    """
+def physics_phase_a(s: EnvState, params: EnvParams, ext_force, ext_torque):
+    """Phase A of one tick: radio delivery, plant integration, IMU
+    fabrication. Split out so fleet envs can run a *shared* UWB network
+    between the plants moving and the onboard logics consuming ranges."""
     dt = params.dt_us.astype(jnp.float32) * 1e-6
 
     # 1. radio delivery (pushed >delay ago becomes visible to the logic now)
@@ -199,6 +195,31 @@ def physics_tick(s: EnvState, params: EnvParams, ext_force, ext_torque,
     )
     gyro_meas = gyro_true + (gyro_meas - gyro_true) * params.noise_scale
     acc_meas = acc_true + (acc_meas - acc_true) * params.noise_scale
+    return dict(
+        ring=ring, delivered=delivered, mtype=mtype, mflags=mflags,
+        mfields=mfields, plant=new_plant, key=key,
+        gyro_meas=gyro_meas, acc_meas=acc_meas,
+    )
+
+
+def physics_tick(s: EnvState, params: EnvParams, ext_force, ext_torque,
+                 use_estimator: bool, uwb_override=None, phase_a=None):
+    """Steps 1-5a of one tick: radio delivery, plant, IMU, UWB, onboard
+    logic, mocap estimator update. Shared by env.step and the orchard env
+    (which replaces the offboard block with trajectory tracking).
+
+    uwb_override: optional (new, range, responder_id, failure) from an
+    externally stepped (fleet-shared) network; suppresses the internal one.
+    phase_a: optionally pass a precomputed physics_phase_a result (fleet
+    envs run phase A for all vehicles first to feed the shared network).
+    Returns a dict with the partial new state + estimator output.
+    """
+    a = phase_a if phase_a is not None else physics_phase_a(s, params, ext_force, ext_torque)
+    ring = a["ring"]
+    delivered, mtype, mflags, mfields = a["delivered"], a["mtype"], a["mflags"], a["mfields"]
+    new_plant = a["plant"]
+    key = a["key"]
+    gyro_meas, acc_meas = a["gyro_meas"], a["acc_meas"]
 
     # 3b. UWB ranging network (when anchors are configured)
     uwb_state = s.uwb
@@ -206,7 +227,9 @@ def physics_tick(s: EnvState, params: EnvParams, ext_force, ext_torque,
     uwb_range = jnp.float32(0.0)
     uwb_responder = jnp.int32(0)
     uwb_failure = jnp.bool_(False)
-    if params.uwb is not None:
+    if uwb_override is not None:
+        uwb_new, uwb_range, uwb_responder, uwb_failure = uwb_override
+    elif params.uwb is not None:
         from agrifly_tpu.sim import uwb as uwb_mod
 
         n_radios = params.uwb.radio_ids.shape[0]
@@ -315,6 +338,10 @@ def _offboard_and_finish(params: EnvParams, s: EnvState, cmd: Command, half,
         rtype, rflags, rfields = radio.make_position_command(
             cmd.des_pos, cmd.des_vel, jnp.zeros(3, jnp.float32)
         )
+    elif ctrl_mode == "idle":
+        # keep the vehicle in FS_IDLE (motors off) while sensors/estimators
+        # converge — the pad warm-up phase before a start command
+        rtype, rflags, rfields = radio.make_idle_command()
     else:
         raise ValueError(f"unknown ctrl_mode {ctrl_mode}")
     ring = delayline.push(ring, rtype, rflags, rfields, s.step, fire)

@@ -40,6 +40,7 @@ class UwbMeasurement(NamedTuple):
     valid: jnp.ndarray  # bool: broadcast happened this step
     range: jnp.ndarray  # f32
     responder_id: jnp.ndarray  # int32
+    requester_id: jnp.ndarray  # int32 (who initiated the two-way ranging)
     failure: jnp.ndarray  # bool
 
 
@@ -113,6 +114,7 @@ def step(p: UwbParams, s: UwbState, positions, next_target_ids, dt_us):
         valid=complete,
         range=jnp.where(complete, meas_range, 0.0).astype(jnp.float32),
         responder_id=jnp.where(complete, s.responder_id, 0).astype(jnp.int32),
+        requester_id=jnp.where(complete, s.requester_id, 0).astype(jnp.int32),
         failure=jnp.bool_(False),
     )
 
