@@ -317,12 +317,14 @@ def _advance_timer(us, period_us):
 
 
 def _lookup_target(p: LogicParams, responder_id):
-    """Anchor position for a responder id; (pos, known)."""
+    """Anchor position for a responder id; (pos, known).
+
+    One-hot masked reduction instead of a gather (vmap-friendly on TPU)."""
     idx_arr = jnp.arange(MAX_RANGING_TARGETS)
     match = (p.target_ids == responder_id) & (idx_arr < p.num_targets)
     known = jnp.any(match)
-    idx = jnp.argmax(match)
-    return p.target_positions[idx], known
+    pos = jnp.where(match[:, None], p.target_positions, 0.0).sum(axis=0)
+    return pos, known
 
 
 def logic_step(p: LogicParams, s: LogicState, u: LogicInputs):

