@@ -29,7 +29,11 @@ import jax.numpy as jnp
 
 from agrifly_tpu.ops import rotation as rot
 
-PIPE_CAPACITY = 16
+# Steady-state pipe occupancy is ~(delay + horizon) * cmd_rate ~ 5 entries
+# (clears run on every measurement update; push evicts the oldest when
+# full), so 8 slots keep the replay sweep short. The reference's deque is
+# unbounded but never holds more than this either.
+PIPE_CAPACITY = 8
 MAX_CONSECUTIVE_REJECT = 10
 MEAS_REJECT_DIST = 6.0
 
@@ -73,33 +77,54 @@ def pipe_push(p: PredictionPipe, now_us, delay_us, acc, angvel, ballistic, do_pu
     head = jnp.where(do_push & full, (p.head + 1) % PIPE_CAPACITY, p.head)
     count = jnp.where(do_push & full, p.count - 1, p.count)
     slot = (head + count) % PIPE_CAPACITY
-    can = do_push
-    upd = lambda arr, val: jnp.where(can, arr.at[slot].set(val), arr)
+    sel = (jnp.arange(PIPE_CAPACITY, dtype=jnp.int32) == slot) & do_push  # one-hot, gather-free
     return PredictionPipe(
-        active_us=upd(p.active_us, now_us + delay_us),
-        acc=upd(p.acc, acc),
-        angvel=upd(p.angvel, angvel),
-        ballistic=upd(p.ballistic, ballistic),
+        active_us=jnp.where(sel, now_us + delay_us, p.active_us).astype(jnp.int32),
+        acc=jnp.where(sel[:, None], jnp.asarray(acc, jnp.float32)[None, :], p.acc),
+        angvel=jnp.where(sel[:, None], jnp.asarray(angvel, jnp.float32)[None, :], p.angvel),
+        ballistic=jnp.where(sel, ballistic, p.ballistic),
         head=head,
-        count=count + can.astype(jnp.int32),
+        count=count + jnp.asarray(do_push).astype(jnp.int32),
     )
+
+
+def _pipe_ordered(p: PredictionPipe):
+    """Pipe contents in logical (push) order, gather-free.
+
+    Uses a one-hot permutation matmul instead of index gathers: under vmap
+    over thousands of envs, per-env gathers lower to scatter/gather ops
+    that dominate the fused step, while the (K, K) masked matmul stays on
+    the VPU/MXU. Returns (act_us (K,), acc (K,3), angvel (K,3),
+    ballistic (K,)) with slots >= count pushed to act = 2^30.
+    """
+    idx = jnp.arange(PIPE_CAPACITY, dtype=jnp.int32)
+    src = (p.head + idx) % PIPE_CAPACITY  # logical i comes from slot src[i]
+    M = (idx[None, :] == src[:, None]).astype(jnp.float32)  # (K, K)
+    Mi = M.astype(jnp.int32)
+    act = (Mi * p.active_us[None, :]).sum(axis=1, dtype=jnp.int32)
+    acc = M @ p.acc
+    angvel = M @ p.angvel
+    ball = (Mi * p.ballistic[None, :].astype(jnp.int32)).sum(axis=1, dtype=jnp.int32) > 0
+    used = idx < p.count
+    act = jnp.where(used, act, jnp.int32(2**30))
+    return act, acc, angvel, ball
 
 
 def pipe_clear_expired(p: PredictionPipe, t_us):
     """Drop leading entries whose successor is already active at t_us
-    (ClearExpiredMessages: the newest active message always stays)."""
+    (ClearExpiredMessages: the newest active message always stays).
 
-    def cond(state):
-        head, count = state
-        nxt = p.active_us[(head + 1) % PIPE_CAPACITY]
-        return (count >= 2) & (nxt <= t_us)
-
-    def body(state):
-        head, count = state
-        return (head + 1) % PIPE_CAPACITY, count - 1
-
-    head, count = jax.lax.while_loop(cond, body, (p.head, p.count))
-    return p._replace(head=head, count=count)
+    Entries are pushed in increasing activation time, so the number of
+    droppable leading entries is a masked max — no loop needed."""
+    act, _, _, _ = _pipe_ordered(p)
+    idx = jnp.arange(PIPE_CAPACITY, dtype=jnp.int32)
+    # entry j-1 is droppable if entry j (its successor) is already active
+    droppable = (idx >= 1) & (idx < p.count) & (act <= t_us)
+    advance = jnp.where(droppable, idx, 0).max()
+    return p._replace(
+        head=((p.head + advance) % PIPE_CAPACITY).astype(jnp.int32),
+        count=(p.count - advance).astype(jnp.int32),
+    )
 
 
 class MocapEstState(NamedTuple):
@@ -163,20 +188,16 @@ def _replay(s: MocapEstState, t0_us, t1_us, update_variance):
     var_pos, var_att = s.var_pos, s.var_att
 
     # command active at t0: newest entry with active_us <= t0 (+1us epsilon)
-    order = (pipe.head + jnp.arange(PIPE_CAPACITY)) % PIPE_CAPACITY
-    act = jnp.where(
-        jnp.arange(PIPE_CAPACITY) < pipe.count, pipe.active_us[order], jnp.int32(2**30)
-    )
-    accs = pipe.acc[order]
-    angvels = pipe.angvel[order]
-    balls = pipe.ballistic[order]
-
+    act, accs, angvels, balls = _pipe_ordered(pipe)
     is_active0 = act <= t0_us
     any0 = jnp.any(is_active0)
-    idx0 = jnp.where(any0, jnp.argmax(jnp.where(is_active0, jnp.arange(PIPE_CAPACITY), -1)), 0)
-    cur_acc = jnp.where(any0, accs[idx0], jnp.zeros(3, jnp.float32))
-    cur_angvel = jnp.where(any0, angvels[idx0], jnp.zeros(3, jnp.float32))
-    cur_ball = jnp.where(any0, balls[idx0], jnp.bool_(True))
+    # newest active = one-hot of the max active index (gather-free)
+    idxs = jnp.arange(PIPE_CAPACITY)
+    best = jnp.where(is_active0, idxs, -1).max()
+    sel0 = (idxs == best)[:, None]
+    cur_acc = jnp.where(any0, jnp.where(sel0, accs, 0.0).sum(0), jnp.zeros(3, jnp.float32))
+    cur_angvel = jnp.where(any0, jnp.where(sel0, angvels, 0.0).sum(0), jnp.zeros(3, jnp.float32))
+    cur_ball = jnp.where(any0, (jnp.where(sel0[:, 0], balls, False)).any(), jnp.bool_(True))
 
     def step_var(var_pos, var_att, dt):
         A = jnp.array([[1.0, 0.0], [0.0, 1.0]], jnp.float32).at[0, 1].set(dt)
@@ -188,10 +209,11 @@ def _replay(s: MocapEstState, t0_us, t1_us, update_variance):
     t = jnp.maximum(t0_us, jnp.int32(0))
     t1 = t1_us
 
-    def seg(carry, i):
+    def seg(carry, x):
+        act_i, acc_i, angvel_i, ball_i = x
         t, pos, vel, att, angvel, cur, var_pos, var_att = carry
         cur_acc, cur_angvel, cur_ball = cur
-        boundary = jnp.clip(act[i], t, t1)
+        boundary = jnp.clip(act_i, t, t1)
         dt = (boundary - t).astype(jnp.float32) * 1e-6
         pos, vel, att, angvel = _integrate_segment(
             pos, vel, att, angvel, cur_acc, cur_angvel, cur_ball, dt
@@ -201,16 +223,16 @@ def _replay(s: MocapEstState, t0_us, t1_us, update_variance):
             nz = dt > 0
             var_pos = jnp.where(nz, vp2, var_pos)
             var_att = jnp.where(nz, va2, var_att)
-        # switch to command i if it activates within (t, t1]
-        switch = (act[i] > t0_us) & (act[i] <= t1)
-        cur_acc = jnp.where(switch, accs[i], cur_acc)
-        cur_angvel = jnp.where(switch, angvels[i], cur_angvel)
-        cur_ball = jnp.where(switch, balls[i], cur_ball)
+        # switch to this command if it activates within (t, t1]
+        switch = (act_i > t0_us) & (act_i <= t1)
+        cur_acc = jnp.where(switch, acc_i, cur_acc)
+        cur_angvel = jnp.where(switch, angvel_i, cur_angvel)
+        cur_ball = jnp.where(switch, ball_i, cur_ball)
         t = boundary
         return (t, pos, vel, att, angvel, (cur_acc, cur_angvel, cur_ball), var_pos, var_att), None
 
     carry = (t, pos, vel, att, angvel, (cur_acc, cur_angvel, cur_ball), var_pos, var_att)
-    carry, _ = jax.lax.scan(seg, carry, jnp.arange(PIPE_CAPACITY))
+    carry, _ = jax.lax.scan(seg, carry, (act, accs, angvels, balls), unroll=2)
     t, pos, vel, att, angvel, cur, var_pos, var_att = carry
     cur_acc, cur_angvel, cur_ball = cur
 
@@ -511,27 +533,23 @@ def _gps_cov_segment(cov, last_att_corr, att, angvel, cmd_acc, dt):
 def _gps_replay(s: GpsEstState, t0_us, t1_us, update_cov):
     """Replay the command pipe from t0 to t1 for the GPS estimator."""
     pipe = s.pipe
-    order = (pipe.head + jnp.arange(PIPE_CAPACITY)) % PIPE_CAPACITY
-    act = jnp.where(
-        jnp.arange(PIPE_CAPACITY) < pipe.count, pipe.active_us[order], jnp.int32(2**30)
-    )
-    accs = pipe.acc[order]
-    angvels = pipe.angvel[order]
-    balls = pipe.ballistic[order]
-
+    act, accs, angvels, balls = _pipe_ordered(pipe)
     is_active0 = act <= t0_us
     any0 = jnp.any(is_active0)
-    idx0 = jnp.where(any0, jnp.argmax(jnp.where(is_active0, jnp.arange(PIPE_CAPACITY), -1)), 0)
+    idxs = jnp.arange(PIPE_CAPACITY)
+    best = jnp.where(is_active0, idxs, -1).max()
+    sel0 = (idxs == best)[:, None]
     cur = (
-        jnp.where(any0, accs[idx0], jnp.zeros(3, jnp.float32)),
-        jnp.where(any0, angvels[idx0], jnp.zeros(3, jnp.float32)),
-        jnp.where(any0, balls[idx0], jnp.bool_(True)),
+        jnp.where(any0, jnp.where(sel0, accs, 0.0).sum(0), jnp.zeros(3, jnp.float32)),
+        jnp.where(any0, jnp.where(sel0, angvels, 0.0).sum(0), jnp.zeros(3, jnp.float32)),
+        jnp.where(any0, (jnp.where(sel0[:, 0], balls, False)).any(), jnp.bool_(True)),
     )
 
-    def seg(carry, i):
+    def seg(carry, x):
+        act_i, acc_i, angvel_i, ball_i = x
         t, pos, vel, att, angvel, cur, cov, lac = carry
         cur_acc, cur_angvel, cur_ball = cur
-        boundary = jnp.clip(act[i], t, t1_us)
+        boundary = jnp.clip(act_i, t, t1_us)
         dt = (boundary - t).astype(jnp.float32) * 1e-6
         if update_cov:
             cov2 = _gps_cov_segment(cov, lac, att, angvel, cur_acc, dt)
@@ -541,17 +559,17 @@ def _gps_replay(s: GpsEstState, t0_us, t1_us, update_cov):
         pos, vel, att, angvel = _integrate_segment(
             pos, vel, att, angvel, cur_acc, cur_angvel, cur_ball, dt
         )
-        switch = (act[i] > t0_us) & (act[i] <= t1_us)
+        switch = (act_i > t0_us) & (act_i <= t1_us)
         cur = (
-            jnp.where(switch, accs[i], cur_acc),
-            jnp.where(switch, angvels[i], cur_angvel),
-            jnp.where(switch, balls[i], cur_ball),
+            jnp.where(switch, acc_i, cur_acc),
+            jnp.where(switch, angvel_i, cur_angvel),
+            jnp.where(switch, ball_i, cur_ball),
         )
         return (boundary, pos, vel, att, angvel, cur, cov, lac), None
 
     carry = (jnp.maximum(t0_us, 0).astype(jnp.int32), s.pos, s.vel, s.att, s.angvel,
              cur, s.cov, s.last_att_corr)
-    carry, _ = jax.lax.scan(seg, carry, jnp.arange(PIPE_CAPACITY))
+    carry, _ = jax.lax.scan(seg, carry, (act, accs, angvels, balls), unroll=2)
     t, pos, vel, att, angvel, cur, cov, lac = carry
     cur_acc, cur_angvel, cur_ball = cur
     dt = jnp.maximum(t1_us - t, 0).astype(jnp.float32) * 1e-6
