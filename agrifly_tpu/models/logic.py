@@ -582,3 +582,53 @@ def set_gyro_calibration(s: LogicState, enable: bool) -> LogicState:
         ending & (s.gyro_cal_count > 0), s.gyro_cal_accum / n, s.gyro_bias
     )
     return s._replace(gyro_cal_enabled=enable, gyro_bias=bias)
+
+
+FS_NAMES = {
+    FS_UNINITIALIZED: "FS_UNINITIALIZED",
+    FS_IDLE: "FS_IDLE",
+    FS_FULLY_AUTONOMOUS: "FS_FULLY_AUTONOMOUS",
+    FS_PANIC: "FS_PANIC",
+    FS_KILLED: "FS_KILLED",
+    FS_EXTERNAL_ACCELERATION_CONTROL: "FS_EXTERNAL_ACCELERATION_CONTROL",
+    FS_EXTERNAL_RATES_CONTROL: "FS_EXTERNAL_RATES_CONTROL",
+}
+
+
+def format_status(p: LogicParams, s: LogicState, vehicle_id=0) -> str:
+    """Host-side debug dump of one vehicle's onboard state — the
+    PrintStatus() report (QuadcopterLogic.cpp:681-826) as a string."""
+    import numpy as np
+
+    from agrifly_tpu.ops import filters, rotation as rot_ops
+
+    acc = np.asarray(filters.lp2_value(s.acc_lp))
+    gyro = np.asarray(filters.lp2_value(s.gyro_lp))
+    y, pch, r = (float(x) for x in rot_ops.to_euler_ypr(s.kf.att))
+    lines = [
+        f"Quad logic status over {int(s.cycle_count)} cycles "
+        f"(avg dt = {float(s.loop_lpdt):.5f}, expected = {float(p.onboard_period):.5f})",
+        f"Vehicle id = {vehicle_id}",
+        f"\tState = {FS_NAMES.get(int(s.fs), int(s.fs))}",
+        f"\tBattery: {float(s.batt_voltage):.3f}V "
+        f"(filtered {float(filters.lp2_value(s.batt_lp)):.3f}V), {float(s.batt_current):.3f}A",
+        f"\tAccelerometer = ({acc[0]:.3f}, {acc[1]:.3f}, {acc[2]:.3f}) m/s^2",
+        f"\tRate gyro     = ({gyro[0]:.3f}, {gyro[1]:.3f}, {gyro[2]:.3f}) rad/s",
+        f"\tGyro bias     = {np.asarray(s.gyro_bias).round(4).tolist()}",
+        f"\tEstimator: init imu={bool(s.kf.imu_init)} uwb={bool(s.kf.uwb_init)}",
+        f"\t\tpos = {np.asarray(s.kf.pos).round(3).tolist()} m",
+        f"\t\tvel = {np.asarray(s.kf.vel).round(3).tolist()} m/s",
+        f"\t\tatt YPR = ({y:.3f}, {pch:.3f}, {r:.3f}) rad",
+        f"\t\tangVel = {np.asarray(s.kf.angvel).round(3).tolist()} rad/s",
+        f"\t\trejected = {int(s.kf.num_rejected)}, resets = {int(s.kf.num_resets)}",
+        f"\tUWB: meas = {int(s.uwb_meas_count)}, next target idx = {int(s.next_target_idx)}",
+        f"\tDesired motor speeds = {np.asarray(s.des_motor_speeds).round(2).tolist()}",
+        f"\tPropeller correction = {np.asarray(s.prop_cal_factors).round(3).tolist()}",
+        f"\tRadio: count = {int(s.radio_count)}, type = {int(s.radio_type)}, "
+        f"flags = {int(s.radio_flags)}, cmd dt = {float(s.cmd_rate_lpdt):.5f}s",
+        f"\tTelemetry sent = {int(s.tel_counter)}",
+        f"\tDebug = {np.asarray(s.debug).round(3).tolist()}",
+        f"\tPanic = {PANIC_REASON_NAMES.get(int(s.panic_reason), int(s.panic_reason))}",
+        f"\tWarnings = {int(s.warnings):#04x}",
+    ]
+    return "\n".join(lines)

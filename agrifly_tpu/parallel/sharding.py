@@ -96,3 +96,113 @@ def make_fleet_step(params, mesh: Mesh, n_envs: int, n_substeps: int = 1):
         check_vma=False,
     )
     return jax.jit(fn, donate_argnums=0)
+
+
+# =============================================================================
+# Multi-chip RAPPIDS: shard the candidate axis over the mesh
+# =============================================================================
+#
+# For a single vehicle planning with very large candidate batches, the
+# planner itself scales across chips: each device samples and gates its own
+# candidate shard and inflates pyramids from its local best seeds; the
+# pyramid sets are all_gathered (small: P x ~20 floats) so every device
+# checks its candidates against the union; the global argmin rides a pmin.
+# Collectives: one all_gather + two pmin/psum-class reductions per plan.
+
+
+def make_sharded_planner(planner_params, mesh: Mesh, n_candidates: int,
+                         pyramid_capacity: int = 32, inflation_downsample: int = 2):
+    """Returns jitted (depth_u16, key, vel0, acc0, grav, goal_cam) -> PlanResult
+    with the candidate axis sharded over the mesh."""
+    from agrifly_tpu.planner import rappids, traj as traj_mod
+
+    n_dev = mesh.devices.size
+    assert n_candidates % n_dev == 0 and pyramid_capacity % n_dev == 0
+    n_local = n_candidates // n_dev
+    p_local = pyramid_capacity // n_dev
+
+    def local_plan(depth_u16, keys, vel0, acc0, grav, goal_cam):
+        key = keys[0]  # this device's key (sharded (D,2) -> local (1,2))
+        tr = rappids.sample_candidates(
+            planner_params, key, n_local, vel0, acc0, grav
+        )
+        cost = rappids.exploration_cost(tr, goal_cam)
+        feas = traj_mod.check_input_feasibility(
+            tr, grav, planner_params.fmin, planner_params.fmax,
+            planner_params.wmax, float(planner_params.min_section_time),
+        )
+        vel_ok = traj_mod.check_velocity_feasibility(tr, planner_params.vmax)
+        gate = feas & vel_ok
+
+        end = traj_mod.position(tr, tr.tf)
+        epx, epy = rappids.project(planner_params.cam, end)
+        order = jnp.argsort(jnp.where(gate, cost, jnp.inf))[:p_local]
+        local_pyrs = rappids.build_pyramid_set(
+            planner_params, depth_u16, epx[order], epy[order],
+            end[order][:, 2], gate[order], p_local,
+            downsample=inflation_downsample,
+        )
+
+        # union of all devices' pyramids (sorted by depth, same on all)
+        gathered = jax.lax.all_gather(local_pyrs, ENV_AXIS)  # leaves: (D, p_local, ...)
+        flat = jax.tree_util.tree_map(
+            lambda x: x.reshape((-1,) + x.shape[2:]), gathered
+        )
+        srt = jnp.argsort(jnp.where(flat.valid, flat.depth, jnp.inf))
+        pyrs = jax.tree_util.tree_map(lambda x: x[srt], flat)
+
+        collision_free = jax.vmap(
+            lambda i: rappids.is_collision_free(
+                planner_params, pyrs, jax.tree_util.tree_map(lambda x: x[i], tr))
+        )(jnp.arange(n_local))
+
+        ok = gate & collision_free
+        masked = jnp.where(ok, cost, jnp.inf)
+        local_best = masked.min()
+        local_idx = jnp.argmin(masked)
+        local_traj = jax.tree_util.tree_map(lambda x: x[local_idx], tr)
+
+        # global winner: pmin the cost, then psum-select the winning traj
+        global_best = jax.lax.pmin(local_best, ENV_AXIS)
+        i_win = (local_best == global_best) & jnp.isfinite(global_best)
+        # break ties: lowest device index wins
+        my_rank = jax.lax.axis_index(ENV_AXIS)
+        win_rank = jax.lax.pmin(jnp.where(i_win, my_rank, jnp.int32(2**30)), ENV_AXIS)
+        i_win = i_win & (my_rank == win_rank)
+        wtraj = jax.tree_util.tree_map(
+            lambda x: jax.lax.psum(jnp.where(i_win, x, jnp.zeros_like(x)), ENV_AXIS),
+            local_traj,
+        )
+        found = jnp.isfinite(global_best)
+        stats = (
+            jax.lax.psum(feas.sum().astype(jnp.int32), ENV_AXIS),
+            jax.lax.psum((feas & vel_ok).sum().astype(jnp.int32), ENV_AXIS),
+            jax.lax.psum(ok.sum().astype(jnp.int32), ENV_AXIS),
+            jax.lax.psum(local_pyrs.valid.sum().astype(jnp.int32), ENV_AXIS),
+        )
+        return rappids.PlanResult(
+            found=found,
+            best_idx=jnp.int32(0),
+            best_cost=global_best,
+            traj=wtraj,
+            num_candidates=jnp.int32(n_candidates),
+            num_feasible=stats[0],
+            num_velocity_admissible=stats[1],
+            num_collision_free=stats[2],
+            num_pyramids=stats[3],
+        )
+
+    spec_rep = P()
+    fn = jax.shard_map(
+        local_plan,
+        mesh=mesh,
+        in_specs=(spec_rep, P(ENV_AXIS), spec_rep, spec_rep, spec_rep, spec_rep),
+        out_specs=spec_rep,
+        check_vma=False,
+    )
+
+    def run(depth_u16, key, vel0, acc0, grav, goal_cam):
+        keys = jax.random.split(key, n_dev)
+        return fn(depth_u16, keys, vel0, acc0, grav, goal_cam)
+
+    return jax.jit(run)

@@ -720,14 +720,19 @@ class PlanResult(NamedTuple):
 
 def plan(params: PlannerParams, depth_u16, key, vel0, acc0, grav, goal_cam,
          n_candidates=512, pyramid_capacity=32, rounds=2,
-         inflation_downsample=1):
+         inflation_downsample=1, cost_fn=None):
     """One planning call: sample, gate, build pyramids, pick the best.
 
     All arguments are camera-frame (the caller rotates world state by the
     camera attitude, as in Rappids_Simulator/main.cpp:489-495).
+    cost_fn: optional Traj -> (N,) costs; defaults to the goal-progress
+    exploration cost using goal_cam.
     """
     tr = sample_candidates(params, key, n_candidates, vel0, acc0, grav)
-    cost = exploration_cost(tr, jnp.asarray(goal_cam, jnp.float32))
+    if cost_fn is None:
+        cost = exploration_cost(tr, jnp.asarray(goal_cam, jnp.float32))
+    else:
+        cost = cost_fn(tr)
 
     feas = traj_mod.check_input_feasibility(
         tr, grav, params.fmin, params.fmax, params.wmax,
@@ -782,6 +787,108 @@ def plan(params: PlannerParams, depth_u16, key, vel0, acc0, grav, goal_cam,
         num_velocity_admissible=(feas & vel_ok).sum().astype(jnp.int32),
         num_collision_free=ok.sum().astype(jnp.int32),
         num_pyramids=pyrs.valid.sum().astype(jnp.int32),
+    )
+
+
+# =============================================================================
+# self-evaluation harnesses (MeasureConservativeness /
+# MeasureCollisionCheckingSpeed parity, DepthImagePlanner.cpp:972-1029)
+# =============================================================================
+
+
+def measure_conservativeness(params: PlannerParams, depth_u16, key, vel0,
+                             acc0, grav, n_traj=128, pyramid_limit=32):
+    """Section IV.A of the RAPPIDS paper: how many trajectories does the
+    pyramid checker mislabel as in-collision vs the ray-sphere oracle?
+
+    Returns (num_incorrect_in_collision, num_correct_in_collision).
+    """
+    import jax as _jax
+
+    from agrifly_tpu.planner import oracle as _oracle
+
+    tr = sample_candidates(params, key, n_traj, vel0, acc0, grav)
+    end = traj_mod.position(tr, tr.tf)
+    epx, epy = project(params.cam, end)
+    pyrs = build_pyramid_set(
+        params, depth_u16, epx, epy, end[:, 2],
+        jnp.ones((n_traj,), bool), pyramid_limit,
+    )
+    free_planner = _jax.vmap(
+        lambda i: is_collision_free(
+            params, pyrs, _jax.tree_util.tree_map(lambda x: x[i], tr))
+    )(jnp.arange(n_traj))
+    free_oracle = _jax.vmap(
+        lambda i: _oracle.is_collision_free_ground_truth(
+            params, depth_u16, _jax.tree_util.tree_map(lambda x: x[i], tr))
+    )(jnp.arange(n_traj))
+
+    collides_planner = ~free_planner
+    collides_oracle = ~free_oracle
+    num_correct = jnp.sum(collides_planner & collides_oracle)
+    num_incorrect = jnp.sum(collides_planner & ~collides_oracle)
+    return num_incorrect.astype(jnp.int32), num_correct.astype(jnp.int32)
+
+
+def measure_collision_checking_speed(params: PlannerParams, depth_u16, key,
+                                     vel0, acc0, grav, n_traj=1024,
+                                     pyramid_limit=32):
+    """Section IV.B parity: wall-clock of the batched collision check.
+
+    Returns (seconds_total, seconds_per_trajectory, pyramids_used). The
+    pyramid build is timed separately from the checks, mirroring the
+    reference's exclusion of pyramid-generation time.
+    """
+    import time as _time
+
+    import jax as _jax
+
+    tr = sample_candidates(params, key, n_traj, vel0, acc0, grav)
+    end = traj_mod.position(tr, tr.tf)
+    epx, epy = project(params.cam, end)
+
+    build = _jax.jit(
+        lambda img: build_pyramid_set(
+            params, img, epx, epy, end[:, 2], jnp.ones((n_traj,), bool),
+            pyramid_limit,
+        )
+    )
+    pyrs = _jax.block_until_ready(build(depth_u16))
+
+    check = _jax.jit(
+        lambda p: _jax.vmap(
+            lambda i: is_collision_free(
+                params, p, _jax.tree_util.tree_map(lambda x: x[i], tr))
+        )(jnp.arange(n_traj))
+    )
+    _jax.block_until_ready(check(pyrs))  # compile
+    t0 = _time.perf_counter()
+    out = _jax.block_until_ready(check(pyrs))
+    dt = _time.perf_counter() - t0
+    return dt, dt / n_traj, int(pyrs.valid.sum())
+
+
+def exploration_direction_cost(tr: traj_mod.Traj, direction):
+    """Direction-based cost (DepthImagePlanner.hpp:486-515 default variant
+    used by FindFastestTrajRandomCandidates): reward distance traveled along
+    `direction` per unit time."""
+    d = jnp.asarray(direction, jnp.float32)
+    d = d / jnp.linalg.norm(d)
+    end = traj_mod.position(tr, tr.tf)
+    return -(end * d).sum(-1) / tr.tf
+
+
+def find_fastest_trajectory(params: PlannerParams, depth_u16, key, vel0, acc0,
+                            grav, exploration_direction, n_candidates=512,
+                            pyramid_capacity=32, rounds=2,
+                            inflation_downsample=1):
+    """FindFastestTrajRandomCandidates parity: plan with the direction cost."""
+    return plan(
+        params, depth_u16, key, vel0, acc0, grav,
+        goal_cam=jnp.zeros(3, jnp.float32),
+        n_candidates=n_candidates, pyramid_capacity=pyramid_capacity,
+        rounds=rounds, inflation_downsample=inflation_downsample,
+        cost_fn=lambda tr: exploration_direction_cost(tr, exploration_direction),
     )
 
 

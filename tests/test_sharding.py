@@ -78,3 +78,23 @@ def test_graft_entry_dryrun():
     out = jax.jit(fn)(*args)
     jax.block_until_ready(out)
     mod.dryrun_multichip(8)
+
+
+def test_sharded_planner_on_mesh():
+    from agrifly_tpu.planner import rappids
+
+    mesh = sharding.make_mesh(jax.devices()[:8])
+    cam = rappids.make_camera(160, 120, focal=80.0, depth_scale=10 / 256)
+    p = rappids.make_params(cam, 0.116, 0.174)
+    f = sharding.make_sharded_planner(p, mesh, n_candidates=128, pyramid_capacity=16)
+    img = jnp.full((120, 160), 230, jnp.int32)
+    res = f(img, jax.random.PRNGKey(0), jnp.zeros(3), jnp.zeros(3),
+            jnp.array([0.0, 9.81, 0.0]), jnp.array([0.0, 0.0, 20.0]))
+    assert bool(res.found)
+    assert int(res.num_collision_free) > 20
+    assert float(res.best_cost) < 0
+    # the winning trajectory is a valid primitive reaching ahead
+    from agrifly_tpu.planner import traj as traj_mod
+
+    end = np.asarray(traj_mod.position(res.traj, res.traj.tf))
+    assert end[2] > 1.0  # forward in the camera frame
