@@ -110,3 +110,42 @@ def test_find_fastest_direction_cost():
     )
     assert bool(res.found)
     assert float(res.best_cost) < 0  # progress along +z (camera forward)
+
+
+def test_rollout_fast_matches_rollout():
+    """Cadence-specialized rollout has identical semantics to `rollout`.
+
+    Exact bit-identity across the two program structures is not attainable
+    (XLA fuses them differently, yielding 1-ulp reassociation differences
+    that the closed loop amplifies), so the contract is: identical early
+    trajectory (before ulp noise can grow), identical discrete state, and
+    statistically indistinguishable steady state.
+    """
+    for mode in (False, True, "gpsimu"):
+        params = env.make_params(noise_scale=1.0)
+        cmd = env.hover_command((0.0, 0.0, 1.2))
+        s0 = env.init_state(params, jax.random.PRNGKey(5))
+        ref_final, ref_traj = jax.jit(env.rollout, static_argnums=(3, 4))(
+            params, s0, cmd, 523, mode
+        )
+        fast_final, fast_traj = jax.jit(
+            lambda s: env.rollout_fast(params, s, cmd, 523, mode)
+        )(s0)
+        # first 25 steps agree to ulp-level tolerance (identical cadences
+        # + inputs; fusion differences cost ~1 ulp per op)
+        np.testing.assert_allclose(
+            np.asarray(ref_traj.pos)[:25], np.asarray(fast_traj.pos)[:25],
+            atol=1e-4, err_msg=f"mode={mode}",
+        )
+        # discrete state identical throughout
+        np.testing.assert_array_equal(
+            np.asarray(ref_traj.flight_state), np.asarray(fast_traj.flight_state)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(ref_traj.panic_reason), np.asarray(fast_traj.panic_reason)
+        )
+        # steady state agrees to ulp-amplification tolerance
+        np.testing.assert_allclose(
+            np.asarray(ref_final.plant.pos), np.asarray(fast_final.plant.pos),
+            atol=0.05, err_msg=f"mode={mode}",
+        )
