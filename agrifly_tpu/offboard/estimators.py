@@ -70,7 +70,7 @@ def pipe_init() -> PredictionPipe:
 def pipe_push(p: PredictionPipe, now_us, delay_us, acc, angvel, ballistic, do_push):
     """AddMessage: activation = now + delay. Oldest entry is evicted if full
     (the reference deque grows unboundedly until ClearExpiredMessages; a
-    16-deep ring covers > 150 ms of 100 Hz commands, far beyond the replay
+    PIPE_CAPACITY-deep ring covers > 70 ms of 100 Hz commands, beyond the replay
     horizon)."""
     full = p.count >= PIPE_CAPACITY
     # evict one from the head if full

@@ -749,7 +749,6 @@ def plan(params: PlannerParams, depth_u16, key, vel0, acc0, grav, goal_cam,
     pyrs = empty_pyramid_set(pyramid_capacity)
     per_round = pyramid_capacity // rounds
 
-    collision_free = jnp.zeros((n_candidates,), bool)
     for rnd in range(rounds):
         take = order[rnd * per_round : (rnd + 1) * per_round]
         seed_valid = gate[take]
@@ -889,147 +888,4 @@ def find_fastest_trajectory(params: PlannerParams, depth_u16, key, vel0, acc0,
         n_candidates=n_candidates, pyramid_capacity=pyramid_capacity,
         rounds=rounds, inflation_downsample=inflation_downsample,
         cost_fn=lambda tr: exploration_direction_cost(tr, exploration_direction),
-    )
-
-
-# =============================================================================
-# self-evaluation harnesses (MeasureConservativeness /
-# MeasureCollisionCheckingSpeed parity, DepthImagePlanner.cpp:972-1029)
-# =============================================================================
-
-
-def measure_conservativeness(params: PlannerParams, depth_u16, key, vel0,
-                             acc0, grav, n_traj=128, pyramid_limit=32):
-    """Section IV.A of the RAPPIDS paper: how many trajectories does the
-    pyramid checker mislabel as in-collision vs the ray-sphere oracle?
-
-    Returns (num_incorrect_in_collision, num_correct_in_collision).
-    """
-    import jax as _jax
-
-    from agrifly_tpu.planner import oracle as _oracle
-
-    tr = sample_candidates(params, key, n_traj, vel0, acc0, grav)
-    end = traj_mod.position(tr, tr.tf)
-    epx, epy = project(params.cam, end)
-    pyrs = build_pyramid_set(
-        params, depth_u16, epx, epy, end[:, 2],
-        jnp.ones((n_traj,), bool), pyramid_limit,
-    )
-    free_planner = _jax.vmap(
-        lambda i: is_collision_free(
-            params, pyrs, _jax.tree_util.tree_map(lambda x: x[i], tr))
-    )(jnp.arange(n_traj))
-    free_oracle = _jax.vmap(
-        lambda i: _oracle.is_collision_free_ground_truth(
-            params, depth_u16, _jax.tree_util.tree_map(lambda x: x[i], tr))
-    )(jnp.arange(n_traj))
-
-    collides_planner = ~free_planner
-    collides_oracle = ~free_oracle
-    num_correct = jnp.sum(collides_planner & collides_oracle)
-    num_incorrect = jnp.sum(collides_planner & ~collides_oracle)
-    return num_incorrect.astype(jnp.int32), num_correct.astype(jnp.int32)
-
-
-def measure_collision_checking_speed(params: PlannerParams, depth_u16, key,
-                                     vel0, acc0, grav, n_traj=1024,
-                                     pyramid_limit=32):
-    """Section IV.B parity: wall-clock of the batched collision check.
-
-    Returns (seconds_total, seconds_per_trajectory, pyramids_used). The
-    pyramid build is timed separately from the checks, mirroring the
-    reference's exclusion of pyramid-generation time.
-    """
-    import time as _time
-
-    import jax as _jax
-
-    tr = sample_candidates(params, key, n_traj, vel0, acc0, grav)
-    end = traj_mod.position(tr, tr.tf)
-    epx, epy = project(params.cam, end)
-
-    build = _jax.jit(
-        lambda img: build_pyramid_set(
-            params, img, epx, epy, end[:, 2], jnp.ones((n_traj,), bool),
-            pyramid_limit,
-        )
-    )
-    pyrs = _jax.block_until_ready(build(depth_u16))
-
-    check = _jax.jit(
-        lambda p: _jax.vmap(
-            lambda i: is_collision_free(
-                params, p, _jax.tree_util.tree_map(lambda x: x[i], tr))
-        )(jnp.arange(n_traj))
-    )
-    _jax.block_until_ready(check(pyrs))  # compile
-    t0 = _time.perf_counter()
-    out = _jax.block_until_ready(check(pyrs))
-    dt = _time.perf_counter() - t0
-    return dt, dt / n_traj, int(pyrs.valid.sum())
-
-
-def exploration_direction_cost(tr: traj_mod.Traj, direction):
-    """Direction-based cost (DepthImagePlanner.hpp:486-515 default variant
-    used by FindFastestTrajRandomCandidates): reward distance traveled along
-    `direction` per unit time."""
-    d = jnp.asarray(direction, jnp.float32)
-    d = d / jnp.linalg.norm(d)
-    end = traj_mod.position(tr, tr.tf)
-    return -(end * d).sum(-1) / tr.tf
-
-
-def find_fastest_trajectory(params: PlannerParams, depth_u16, key, vel0, acc0,
-                            grav, exploration_direction, n_candidates=512,
-                            pyramid_capacity=32, rounds=2):
-    """FindFastestTrajRandomCandidates parity: plan with the direction cost."""
-    tr = sample_candidates(params, key, n_candidates, vel0, acc0, grav)
-    cost = exploration_direction_cost(tr, exploration_direction)
-
-    feas = traj_mod.check_input_feasibility(
-        tr, grav, params.fmin, params.fmax, params.wmax,
-        float(params.min_section_time),
-    )
-    vel_ok = traj_mod.check_velocity_feasibility(tr, params.vmax)
-    gate = feas & vel_ok
-
-    end = traj_mod.position(tr, tr.tf)
-    epx, epy = project(params.cam, end)
-    order = jnp.argsort(jnp.where(gate, cost, jnp.inf))
-    per_round = pyramid_capacity // rounds
-    pyrs = empty_pyramid_set(pyramid_capacity)
-    for rnd in range(rounds):
-        take = order[rnd * per_round : (rnd + 1) * per_round]
-        seed_valid = gate[take]
-        if rnd > 0:
-            f, _ = jax.vmap(lambda x, y, d: find_containing_pyramid(pyrs, x, y, d))(
-                epx[take], epy[take], end[take][:, 2]
-            )
-            seed_valid = seed_valid & ~f
-        new_pyrs = build_pyramid_set(
-            params, depth_u16, epx[take], epy[take], end[take][:, 2],
-            seed_valid, per_round,
-        )
-        pyrs = merge_pyramid_sets(pyrs, new_pyrs) if rnd > 0 else merge_pyramid_sets(
-            empty_pyramid_set(pyramid_capacity - per_round), new_pyrs
-        )
-
-    collision_free = jax.vmap(
-        lambda i: is_collision_free(params, pyrs, jax.tree_util.tree_map(lambda x: x[i], tr))
-    )(jnp.arange(n_candidates))
-
-    ok = gate & collision_free
-    best_cost = jnp.where(ok, cost, jnp.inf)
-    best_idx = jnp.argmin(best_cost)
-    return PlanResult(
-        found=jnp.any(ok),
-        best_idx=best_idx,
-        best_cost=best_cost[best_idx],
-        traj=jax.tree_util.tree_map(lambda x: x[best_idx], tr),
-        num_candidates=jnp.int32(n_candidates),
-        num_feasible=feas.sum().astype(jnp.int32),
-        num_velocity_admissible=(feas & vel_ok).sum().astype(jnp.int32),
-        num_collision_free=ok.sum().astype(jnp.int32),
-        num_pyramids=pyrs.valid.sum().astype(jnp.int32),
     )
