@@ -27,6 +27,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from agrifly_tpu.ops import lin3
 from agrifly_tpu.ops import rotation as rot
 
 # Steady-state pipe occupancy is ~(delay + horizon) * cmd_rate ~ 5 entries
@@ -199,19 +200,26 @@ def _replay(s: MocapEstState, t0_us, t1_us, update_variance):
     cur_angvel = jnp.where(any0, jnp.where(sel0, angvels, 0.0).sum(0), jnp.zeros(3, jnp.float32))
     cur_ball = jnp.where(any0, (jnp.where(sel0[:, 0], balls, False)).any(), jnp.bool_(True))
 
-    def step_var(var_pos, var_att, dt):
-        A = jnp.array([[1.0, 0.0], [0.0, 1.0]], jnp.float32).at[0, 1].set(dt)
+    # variance carried as scalar (p00, p01, p11) triples: building 2x2
+    # matrices per segment (eye().at.set, jnp.diag) lowers to scatters under
+    # vmap and dominated the whole fused step; the closed form
+    # A P A^T + Q for A = [[1, dt], [0, 1]], symmetric P is elementwise.
+    def step_var(p00, p01, p11, proc, dt):
         # NB: reference uses sigma (not sigma^2) in Q — kept bug-compatible
-        qp = jnp.diag(jnp.stack([dt**4 * PROC_STD_POS / 4.0, dt**2 * PROC_STD_POS]))
-        qa = jnp.diag(jnp.stack([dt**4 * PROC_STD_ATT / 4.0, dt**2 * PROC_STD_ATT]))
-        return A @ var_pos @ A.T + qp, A @ var_att @ A.T + qa
+        n00 = p00 + dt * (p01 + p01) + (dt * dt) * p11 + dt**4 * proc / 4.0
+        n01 = p01 + dt * p11
+        n11 = p11 + dt**2 * proc
+        return n00, n01, n11
+
+    vp = (var_pos[0, 0], var_pos[0, 1], var_pos[1, 1])
+    va = (var_att[0, 0], var_att[0, 1], var_att[1, 1])
 
     t = jnp.maximum(t0_us, jnp.int32(0))
     t1 = t1_us
 
     def seg(carry, x):
         act_i, acc_i, angvel_i, ball_i = x
-        t, pos, vel, att, angvel, cur, var_pos, var_att = carry
+        t, pos, vel, att, angvel, cur, vp, va = carry
         cur_acc, cur_angvel, cur_ball = cur
         boundary = jnp.clip(act_i, t, t1)
         dt = (boundary - t).astype(jnp.float32) * 1e-6
@@ -219,21 +227,19 @@ def _replay(s: MocapEstState, t0_us, t1_us, update_variance):
             pos, vel, att, angvel, cur_acc, cur_angvel, cur_ball, dt
         )
         if update_variance:
-            vp2, va2 = step_var(var_pos, var_att, dt)
-            nz = dt > 0
-            var_pos = jnp.where(nz, vp2, var_pos)
-            var_att = jnp.where(nz, va2, var_att)
+            vp = step_var(*vp, PROC_STD_POS, dt)
+            va = step_var(*va, PROC_STD_ATT, dt)
         # switch to this command if it activates within (t, t1]
         switch = (act_i > t0_us) & (act_i <= t1)
         cur_acc = jnp.where(switch, acc_i, cur_acc)
         cur_angvel = jnp.where(switch, angvel_i, cur_angvel)
         cur_ball = jnp.where(switch, ball_i, cur_ball)
         t = boundary
-        return (t, pos, vel, att, angvel, (cur_acc, cur_angvel, cur_ball), var_pos, var_att), None
+        return (t, pos, vel, att, angvel, (cur_acc, cur_angvel, cur_ball), vp, va), None
 
-    carry = (t, pos, vel, att, angvel, (cur_acc, cur_angvel, cur_ball), var_pos, var_att)
+    carry = (t, pos, vel, att, angvel, (cur_acc, cur_angvel, cur_ball), vp, va)
     carry, _ = jax.lax.scan(seg, carry, (act, accs, angvels, balls), unroll=2)
-    t, pos, vel, att, angvel, cur, var_pos, var_att = carry
+    t, pos, vel, att, angvel, cur, vp, va = carry
     cur_acc, cur_angvel, cur_ball = cur
 
     # final segment to t1
@@ -242,10 +248,14 @@ def _replay(s: MocapEstState, t0_us, t1_us, update_variance):
         pos, vel, att, angvel, cur_acc, cur_angvel, cur_ball, dt
     )
     if update_variance:
-        vp2, va2 = step_var(var_pos, var_att, dt)
-        nz = dt > 0
-        var_pos = jnp.where(nz, vp2, var_pos)
-        var_att = jnp.where(nz, va2, var_att)
+        vp = step_var(*vp, PROC_STD_POS, dt)
+        va = step_var(*va, PROC_STD_ATT, dt)
+    var_pos = jnp.stack(
+        [jnp.stack([vp[0], vp[1]]), jnp.stack([vp[1], vp[2]])]
+    )
+    var_att = jnp.stack(
+        [jnp.stack([va[0], va[1]]), jnp.stack([va[1], va[2]])]
+    )
     return pos, vel, att, angvel, var_pos, var_att
 
 
@@ -406,11 +416,11 @@ def gps_position_update(s: _ekf.EkfState, meas_pos, apply,
 
     P = s.cov
     S = P[0:3, 0:3] + (meas_std**2) * jnp.eye(3, dtype=jnp.float32)
-    det = jnp.linalg.det(S)
+    det = lin3.det3(S)
     bad = (jnp.abs(det) < 1e-10) | ~jnp.all(jnp.isfinite(S))
 
     S_safe = jnp.where(bad, jnp.eye(3, dtype=jnp.float32), S)
-    L = P[:, 0:3] @ jnp.linalg.inv(S_safe)  # (9,3)
+    L = P[:, 0:3] @ lin3.inv3(S_safe)  # (9,3)
     dx = L @ (meas_pos - s.pos)
     att_corr = dx[6:9]
     # (I - L H) P with H = [I3 0 0]:
@@ -605,10 +615,10 @@ def gps_update(s: GpsEstState, now_us, meas_pos, dt_advance_us) -> GpsEstState:
     pos, vel, att, angvel, cov, lac = _gps_replay(s, s.estimate_us, now_us, update_cov=True)
 
     S = cov[0:3, 0:3] + (GPS_MEAS_STD_POS**2) * jnp.eye(3, dtype=jnp.float32)
-    det = jnp.linalg.det(S)
+    det = lin3.det3(S)
     bad = (jnp.abs(det) < 1e-10) | ~jnp.all(jnp.isfinite(S))
     S_safe = jnp.where(bad, jnp.eye(3, dtype=jnp.float32), S)
-    L = cov[:, 0:3] @ jnp.linalg.inv(S_safe)
+    L = cov[:, 0:3] @ lin3.inv3(S_safe)
     dx = L @ (meas_pos - pos)
     att_corr = dx[6:9]
     cov_new = cov - L @ cov[0:3, :]
