@@ -14,6 +14,9 @@ Flags:
   --csv PATH        write flight CSV
   --ckpt PATH       write final-state checkpoint
   --cpu             force CPU (small image recommended)
+  --traj-file PATH  waypoint file (trajectory.txt format: 'x,y,z' lines,
+                    agrifly.launch traj_file parity); lands after the last
+  --land            descend + idle motors after the last waypoint
 """
 
 from __future__ import annotations
@@ -33,6 +36,12 @@ def main(argv=None):
     ap.add_argument("--csv", type=str, default=None)
     ap.add_argument("--ckpt", type=str, default=None)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--traj-file", type=str, default=None,
+                    help="waypoint file, one 'x,y,z' per line "
+                         "(trajectory.txt format); implies landing after "
+                         "the last waypoint")
+    ap.add_argument("--land", action="store_true",
+                    help="descend and idle after the last waypoint")
     args = ap.parse_args(argv)
 
     if args.cpu:
@@ -51,12 +60,20 @@ def main(argv=None):
 
     w, h = (int(x) for x in args.image.split("x"))
     on_tpu = jax.devices()[0].platform != "cpu"
+    waypoints = None
+    if args.traj_file:
+        from agrifly_tpu.sim import mission
+
+        waypoints = mission.load_trajectory_file(args.traj_file)
+        print(f"loaded {len(waypoints)} waypoints from {args.traj_file}")
     params = orchard_env.make_params(
         goal_world=tuple(args.goal),
         width=w, height=h,
         n_candidates=args.candidates,
         seed=args.seed,
         use_pallas=on_tpu,
+        waypoints=waypoints,
+        land=args.land or args.traj_file is not None,
     )
     state = orchard_env.init_state(params, jax.random.PRNGKey(args.seed))
 
@@ -75,13 +92,17 @@ def main(argv=None):
         panic = int(state.base.logic.panic_reason)
         plans = int(state.plan_count)
         sim_t = int(state.base.step) * 0.002
+        mstage = {0: "cruise", 1: "landing", 2: "complete"}[int(state.mstage)]
         print(
             f"t={sim_t:6.2f}s pos=({pos[0]:7.2f},{pos[1]:6.2f},{pos[2]:5.2f}) "
             f"fs={fs} panic={onboard.PANIC_REASON_NAMES.get(panic, panic)} "
-            f"plans={plans}"
+            f"plans={plans} wp={int(state.waypoint_idx)} {mstage}"
         )
         if panic != 0:
             print("PANIC — aborting")
+            break
+        if int(state.mstage) == 2:
+            print("landed — mission complete")
             break
     wall = time.perf_counter() - t_wall
     sim_time = int(state.base.step) * 0.002

@@ -42,15 +42,22 @@ class TopicBus:
 
     def __init__(self):
         self._subs: Dict[str, List[Callable]] = collections.defaultdict(list)
+        self._wildcard: List[Callable] = []
         self.counts: Dict[str, int] = collections.defaultdict(int)
 
     def subscribe(self, topic: str, cb: Callable):
         self._subs[topic].append(cb)
 
+    def subscribe_all(self, cb: Callable):
+        """cb(topic, msg) for every publish on any topic (recorder hook)."""
+        self._wildcard.append(cb)
+
     def publish(self, topic: str, msg):
         self.counts[topic] += 1
         for cb in self._subs[topic]:
             cb(msg)
+        for cb in self._wildcard:
+            cb(topic, msg)
 
 
 def _ypr(q):
@@ -200,8 +207,9 @@ class SimBridge:
 
 class MessageRecorder:
     """rosbag_record_airsim.sh equivalent: record every published message
-    on selected topics to a JSONL file (images excluded, like the script's
-    compressed-image exclusion)."""
+    to a JSONL file. With topics=None (default) it records bus-wide —
+    `rosbag record -a` parity — excluding image topics exactly like the
+    script's compressed-image exclusion."""
 
     def __init__(self, bus: TopicBus, path, topics=None, exclude=("depthImage", "rgbImage")):
         import json
@@ -209,23 +217,36 @@ class MessageRecorder:
         self._json = json
         self._f = open(path, "w")
         self._bus = bus
+        self._exclude = tuple(exclude)
         self.count = 0
-        # subscribe lazily to everything seen: TopicBus has explicit topics,
-        # so the caller lists them (or uses record_topic per publish site)
-        if topics:
+        if topics is None:
+            bus.subscribe_all(self._on_any)
+        else:
             for t in topics:
-                if not any(x in t for x in exclude):
+                if not any(x in t for x in self._exclude):
                     self.record_topic(t)
 
-    def record_topic(self, topic):
-        def cb(msg):
-            self.count += 1
-            self._f.write(
-                self._json.dumps({"topic": topic, "msg": msgs.to_dict(msg)})
-                + "\n"
-            )
+    def _on_any(self, topic, msg):
+        if any(x in topic for x in self._exclude):
+            return
+        self._write(topic, msg)
 
-        self._bus.subscribe(topic, cb)
+    @staticmethod
+    def _default(o):
+        # numpy scalars / 0-d arrays inside message tuples
+        if hasattr(o, "item"):
+            return o.item()
+        raise TypeError(f"not JSON serializable: {type(o)}")
+
+    def _write(self, topic, msg):
+        self.count += 1
+        self._f.write(
+            self._json.dumps({"topic": topic, "msg": msgs.to_dict(msg)},
+                             default=self._default) + "\n"
+        )
+
+    def record_topic(self, topic):
+        self._bus.subscribe(topic, lambda msg: self._write(topic, msg))
 
     def close(self):
         self._f.close()
@@ -248,25 +269,155 @@ def plan_result_to_diagnostics(res, seed, vel_cam, acc_cam, grav_cam, goal_world
     ]
     return msgs.PlannerDiagnostics(
         header=msgs.Header(stamp=stamp),
-        random_seed=int(seed),
-        velocity_D=tuple(np.asarray(vel_cam)),
-        acceleration_D=tuple(np.asarray(acc_cam)),
-        gravity_D=tuple(np.asarray(grav_cam)),
-        goal_W=tuple(np.asarray(goal_world)),
-        trajectory_id=int(seed),
-        planner_statistics=msgs.PlannerStatistics(
-            trajectory_found=bool(res.found),
-            NumCollisionFree=int(res.num_collision_free),
-            NumPyramids=int(res.num_pyramids),
-            NumVelocityChecks=int(res.num_velocity_admissible),
-            NumCollisionChecks=int(res.num_velocity_admissible),
-            NumCostChecks=int(res.num_feasible),
-            NumTrajectoriesGenerated=int(res.num_candidates),
+        input=msgs.PlannerInput(
+            random_seed=int(seed),
+            velocity_D=tuple(np.asarray(vel_cam)),
+            acceleration_D=tuple(np.asarray(acc_cam)),
+            gravity_D=tuple(np.asarray(grav_cam)),
+            goal_W=tuple(np.asarray(goal_world)),
         ),
-        trajectory_parameters_D=msgs.PolynomialTrajectory(
-            coeff0=coeffs[0], coeff1=coeffs[1], coeff2=coeffs[2],
-            coeff3=coeffs[3], coeff4=coeffs[4], coeff5=coeffs[5],
-            duration=float(tr.tf),
+        output=msgs.PlannerOutput(
+            trajectory_id=int(seed),
+            planner_statistics=msgs.PlannerStatistics(
+                trajectory_found=bool(res.found),
+                NumCollisionFree=int(res.num_collision_free),
+                NumPyramids=int(res.num_pyramids),
+                NumVelocityChecks=int(res.num_velocity_admissible),
+                NumCollisionChecks=int(res.num_velocity_admissible),
+                NumCostChecks=int(res.num_feasible),
+                NumTrajectoriesGenerated=int(res.num_candidates),
+            ),
+            trajectory_parameters_D=msgs.PolynomialTrajectory(
+                coeff0=coeffs[0], coeff1=coeffs[1], coeff2=coeffs[2],
+                coeff3=coeffs[3], coeff4=coeffs[4], coeff5=coeffs[5],
+                duration=float(tr.tf),
+            ),
+            trajectory_reset_time=float(reset_time),
         ),
-        trajectory_reset_time=float(reset_time),
     )
+
+
+def controller_diagnostics(est_pos, est_vel, est_att, traj_id, traj_time,
+                           ref_pos, ref_vel, ref_acc, ref_angvel_b,
+                           ref_thrust, cmd_angvel_b, cmd_thrust, batt,
+                           stamp, desired_yaw=0.0) -> msgs.ControllerDiagnostics:
+    """controller_diagnostics message (publisher parity with
+    ExampleVehicleStateMachine.cpp:666-696)."""
+    import numpy as np
+
+    t3 = lambda v: tuple(float(x) for x in np.asarray(v).reshape(-1)[:3])
+    t4 = lambda v: tuple(float(x) for x in np.asarray(v).reshape(-1)[:4])
+    return msgs.ControllerDiagnostics(
+        header=msgs.Header(stamp=stamp),
+        input=msgs.ControllerInput(
+            desired_yaw=float(desired_yaw),
+            position_estimate_W=t3(est_pos),
+            velocity_estimate_W=t3(est_vel),
+            attitude_estimate_W=t4(est_att),
+            trajectory_id=int(traj_id),
+            trajectory_time=float(traj_time),
+            position_reference_W=t3(ref_pos),
+            velocity_reference_W=t3(ref_vel),
+            acceleration_reference_W=t3(ref_acc),
+            angular_velocity_reference_B=t3(ref_angvel_b),
+            thrust_reference_B=float(ref_thrust),
+            current_battery=float(batt),
+        ),
+        output=msgs.ControllerOutput(
+            angular_velocity_command_B=t3(cmd_angvel_b),
+            thrust_command_B=float(cmd_thrust),
+        ),
+    )
+
+
+class OrchardBridge:
+    """Flies the orchard perception-plan-act env and publishes the RAPPIDS
+    node's diagnostics topics (ExampleVehicleStateMachine.cpp:259-307
+    planner_diagnostics, :666-696 controller_diagnostics) plus
+    simulator_truth, one set per ~32 ms frame (the reference publishes
+    planner diagnostics per depth image at <= 30 Hz)."""
+
+    def __init__(self, params, vehicle_id=1, seed=0, bus: TopicBus | None = None):
+        from agrifly_tpu.sim import orchard_env
+
+        self._oe = orchard_env
+        self.params = params
+        self.vehicle_id = int(vehicle_id)
+        self.bus = bus if bus is not None else TopicBus()
+        self.state = orchard_env.init_state(params, jax.random.PRNGKey(seed))
+        self._frame = jax.jit(lambda s: orchard_env.frame_step(params, s))
+        self.frame_count = 0
+
+    def fly_frames(self, n: int):
+        for _ in range(n):
+            self.frame()
+
+    def frame(self):
+        from agrifly_tpu.offboard import estimators
+
+        s, outs = self._frame(self.state)
+        self.state = s
+        self.frame_count += 1
+        vid = self.vehicle_id
+        p = self.params
+        dt_us = int(p.base.dt_us)
+        now_us = int(s.base.step) * dt_us
+        t = now_us * 1e-6
+
+        pos = np.asarray(outs["pos"], np.float64)
+        vel = np.asarray(outs["vel"], np.float64)
+        att = np.asarray(outs["att"], np.float64)
+        yaw, pitch, roll = _ypr(att)
+        self.bus.publish(
+            f"simulator_truth{vid}",
+            msgs.SimulatorTruth(
+                header=msgs.Header(stamp=t), vehicleID=vid,
+                posx=pos[0], posy=pos[1], posz=pos[2],
+                velx=vel[0], vely=vel[1], velz=vel[2],
+                attyaw=yaw, attpitch=pitch, attroll=roll,
+                attq0=att[0], attq1=att[1], attq2=att[2], attq3=att[3],
+            ),
+        )
+
+        # ---- planner_diagnostics (per frame = per depth image) ----
+        import types
+
+        res_shim = types.SimpleNamespace(  # PlanResult's consumed fields
+            found=bool(np.asarray(outs["plan_found"])),
+            traj=self._oe._planned_as_traj(s.planned),
+            num_collision_free=int(np.asarray(outs["num_collision_free"])),
+            num_pyramids=int(np.asarray(outs["num_pyramids"])),
+            num_velocity_admissible=int(np.asarray(outs["num_velocity_admissible"])),
+            num_feasible=int(np.asarray(outs["num_feasible"])),
+            num_candidates=p.n_candidates,
+        )
+        diag = plan_result_to_diagnostics(
+            res_shim, seed=self.frame_count,
+            vel_cam=outs["plan_vel_cam"], acc_cam=outs["plan_acc_cam"],
+            grav_cam=outs["plan_grav_cam"], goal_world=outs["goal_world"],
+            reset_time=int(s.planned.start_step) * dt_us * 1e-6, stamp=t,
+        )
+        diag.output.trajectory_transform = msgs.Transform(
+            translation=tuple(np.asarray(s.planned.offset, np.float64)),
+            rotation=tuple(np.asarray(s.planned.att, np.float64)),
+        )
+        self.bus.publish(f"planner_diagnostics{vid}", diag)
+
+        # ---- controller_diagnostics (tracking snapshot at frame end) ----
+        est_pos, est_vel, est_att, _ = estimators.mocap_get_prediction(
+            s.base.mocap, jnp.int32(now_us), p.base.est_latency_us
+        )
+        refs = self._oe._tracking_refs(p, s.planned, s.base.step)
+        ref_pos, ref_vel, ref_acc, ref_thrust, ref_angvel_w = refs
+        ref_angvel_b = rot_ops.rotate_back(jnp.asarray(est_att), ref_angvel_w)
+        traj_time = (int(s.base.step) - int(s.planned.start_step)) * dt_us * 1e-6
+        cdiag = controller_diagnostics(
+            est_pos, est_vel, est_att,
+            traj_id=int(s.plan_count), traj_time=traj_time,
+            ref_pos=ref_pos, ref_vel=ref_vel, ref_acc=ref_acc,
+            ref_angvel_b=ref_angvel_b, ref_thrust=float(ref_thrust),
+            cmd_angvel_b=s.base.last_cmd_angvel,
+            cmd_thrust=float(s.base.last_cmd_thrust),
+            batt=float(p.base.logic.batt_critical) * 1.2, stamp=t,
+        )
+        self.bus.publish(f"controller_diagnostics{vid}", cdiag)

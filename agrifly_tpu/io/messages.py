@@ -161,22 +161,48 @@ class PolynomialTrajectory:
 
 
 @dataclass
-class PlannerDiagnostics:
-    header: Header = field(default_factory=Header)
+class Transform:
+    """geometry_msgs/Transform: translation + quaternion rotation."""
+
+    translation: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    rotation: Tuple[float, float, float, float] = (1.0, 0.0, 0.0, 0.0)  # w,x,y,z
+
+
+@dataclass
+class PlannerInput:
+    """planner_input.msg"""
+
     random_seed: int = 0
     velocity_D: Tuple[float, float, float] = (0.0, 0.0, 0.0)
     acceleration_D: Tuple[float, float, float] = (0.0, 0.0, 0.0)
     gravity_D: Tuple[float, float, float] = (0.0, 0.0, 0.0)
     goal_W: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+
+
+@dataclass
+class PlannerOutput:
+    """planner_output.msg"""
+
     trajectory_id: int = 0
     planner_statistics: PlannerStatistics = field(default_factory=PlannerStatistics)
     trajectory_parameters_D: PolynomialTrajectory = field(default_factory=PolynomialTrajectory)
     trajectory_reset_time: float = 0.0
+    trajectory_transform: Transform = field(default_factory=Transform)
 
 
 @dataclass
-class ControllerDiagnostics:
+class PlannerDiagnostics:
+    """planner_diagnostics.msg = header + planner_input + planner_output."""
+
     header: Header = field(default_factory=Header)
+    input: PlannerInput = field(default_factory=PlannerInput)
+    output: PlannerOutput = field(default_factory=PlannerOutput)
+
+
+@dataclass
+class ControllerInput:
+    """controller_input.msg"""
+
     desired_yaw: float = 0.0
     position_estimate_W: Tuple[float, float, float] = (0.0, 0.0, 0.0)
     velocity_estimate_W: Tuple[float, float, float] = (0.0, 0.0, 0.0)
@@ -189,10 +215,25 @@ class ControllerDiagnostics:
     angular_velocity_reference_B: Tuple[float, float, float] = (0.0, 0.0, 0.0)
     thrust_reference_B: float = 0.0
     current_battery: float = 0.0
+
+
+@dataclass
+class ControllerOutput:
+    """controller_output.msg"""
+
     attitude_command_W: Tuple[float, float, float, float] = (1.0, 0.0, 0.0, 0.0)
     angular_velocity_command_B: Tuple[float, float, float] = (0.0, 0.0, 0.0)
     thrust_command_B: float = 0.0
     thrust_adapt_coefficient: float = 1.0
+
+
+@dataclass
+class ControllerDiagnostics:
+    """controller_diagnostics.msg = header + controller_input + output."""
+
+    header: Header = field(default_factory=Header)
+    input: ControllerInput = field(default_factory=ControllerInput)
+    output: ControllerOutput = field(default_factory=ControllerOutput)
 
 
 def to_dict(msg):

@@ -1,0 +1,372 @@
+"""Pallas TPU kernel for RAPPIDS pyramid inflation.
+
+The jnp inflation (planner/rappids.py:inflate_pyramid) is algorithmically
+one bounded expansion loop plus ~30 whole-image masked reductions per seed;
+vmapped over P seeds XLA materializes per-seed (H, W) intermediates in HBM
+and re-reads the depth image for every reduction — O(30 * P * H * W) HBM
+traffic dominates plan(). This kernel keeps the depth image (plus the
+shared shrink-distance table) resident in VMEM and runs the *entire* inflation for one seed per grid step:
+
+  grid = (P,); per program:
+    1. initial-rectangle blockage check   (tiled masked any)
+    2. max-sweep rectangle expansion      (bounded while_loop, two tiled
+       half-passes per round; see rappids.inflate_pyramid)
+    3. base depth over the expanded rect  (tiled masked min)
+    4. edge-band shrink reductions        (tiled, 4 bands x 4 accumulators)
+    5. corner-band shrink reductions      (tiled, 4 corners)
+
+The image passes stream over TILE_H-row tiles with scalar accumulators so
+live VMEM intermediates stay ~TILE_H x W instead of ~20 full images (a full
+640x480 materialization of every mask blew the 16 MB VMEM budget).
+
+All arithmetic is integer and ordered exactly as the jnp path, so outputs
+are bit-identical (tested in interpret mode and on-device). Semantics match
+DepthImagePlanner.cpp:456-970 through the same conservative reformulation
+documented in planner/rappids.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+PIXEL_BUFFER = 2  # must match rappids.PIXEL_BUFFER
+BIG = 1 << 20
+
+
+def _tile_h(H: int) -> int:
+    """Largest divisor of H that is <= 64 and a multiple of 8 (sublane
+    alignment); falls back to H for small images."""
+    for t in range(64, 7, -8):
+        if H % t == 0:
+            return t
+    return H
+
+
+def _kernel(seed_ref, img_ref, shrink_ref, out_ref, *, W, H):
+    """One seed's full inflation. seed_ref row layout (int32):
+    [x0, y0, min_pyr_depth, l0, r0, t0, b0, ok0, edge_off, ignore, 0, 0]."""
+    p = pl.program_id(0)
+    x0 = seed_ref[p, 0]
+    y0 = seed_ref[p, 1]
+    minpyr = seed_ref[p, 2]
+    l0 = seed_ref[p, 3]
+    r0 = seed_ref[p, 4]
+    t0 = seed_ref[p, 5]
+    b0 = seed_ref[p, 6]
+    ok = seed_ref[p, 7] > 0
+    edge_off = seed_ref[p, 8]
+    ignore = seed_ref[p, 9]
+
+    TH = _tile_h(H)
+    n_tiles = H // TH
+    xs_t = jax.lax.broadcasted_iota(jnp.int32, (TH, W), 1)
+    ys_base = jax.lax.broadcasted_iota(jnp.int32, (TH, W), 0)
+    big = jnp.int32(BIG)
+    tbool = jnp.bool_(True)
+    fbool = jnp.bool_(False)
+
+    def tile(ti):
+        img = img_ref[pl.ds(ti * TH, TH), :]
+        return img, ys_base + ti * TH
+
+    # --- pass A: initial rect must be free ---
+    def passA(ti, bad):
+        img, ys = tile(ti)
+        blocked = (img > ignore) & (img < minpyr)
+        in_rect0 = (xs_t >= l0) & (xs_t <= r0) & (ys >= t0) & (ys <= b0)
+        return bad | jnp.any(blocked & in_rect0)
+
+    ok = ok & ~jax.lax.fori_loop(0, n_tiles, passA, fbool)
+
+    # --- max-sweep expansion (same rounds as the jnp path; see
+    # rappids.inflate_pyramid). Two tiled half-passes per round: columns
+    # within [t, b], then rows within the updated [l2, r2]. ---
+    EXPAND_ROUNDS = 8
+
+    def cond(st):
+        l, r, t, b, rounds, changed = st
+        return changed & (rounds < EXPAND_ROUNDS)
+
+    def body(st):
+        l, r, t, b, rounds, _ = st
+
+        def half1(ti, acc):
+            first_r, last_l = acc
+            img, ys = tile(ti)
+            m = (img > ignore) & (img < minpyr) & (ys >= t) & (ys <= b)
+            first_r = jnp.minimum(first_r, jnp.min(jnp.where(m & (xs_t > r), xs_t, big)))
+            last_l = jnp.maximum(last_l, jnp.max(jnp.where(m & (xs_t < l), xs_t, -big)))
+            return first_r, last_l
+
+        first_r, last_l = jax.lax.fori_loop(0, n_tiles, half1, (big, -big))
+        r2 = jnp.maximum(r, jnp.minimum(first_r - 1, W - 1 - edge_off))
+        l2 = jnp.minimum(l, jnp.maximum(last_l + 1, edge_off))
+
+        def half2(ti, acc):
+            first_b, last_t = acc
+            img, ys = tile(ti)
+            m = (img > ignore) & (img < minpyr) & (xs_t >= l2) & (xs_t <= r2)
+            first_b = jnp.minimum(first_b, jnp.min(jnp.where(m & (ys > b), ys, big)))
+            last_t = jnp.maximum(last_t, jnp.max(jnp.where(m & (ys < t), ys, -big)))
+            return first_b, last_t
+
+        first_b, last_t = jax.lax.fori_loop(0, n_tiles, half2, (big, -big))
+        b2 = jnp.maximum(b, jnp.minimum(first_b - 1, H - 1 - edge_off))
+        t2 = jnp.minimum(t, jnp.maximum(last_t + 1, edge_off))
+        ch = (l2 != l) | (r2 != r) | (t2 != t) | (b2 != b)
+        return (l2, r2, t2, b2, rounds + 1, ch)
+
+    l, r, t, b, *_ = jax.lax.while_loop(
+        cond, body, (l0, r0, t0, b0, jnp.int32(0), tbool)
+    )
+
+    # --- pass B: base depth = min unmasked depth inside the expanded rect ---
+    def passB(ti, cur):
+        img, ys = tile(ti)
+        in_rect = (xs_t >= l) & (xs_t <= r) & (ys >= t) & (ys <= b)
+        masked = jnp.where((img > ignore) & in_rect, img, big)
+        return jnp.minimum(cur, jnp.min(masked))
+
+    maxd = jnp.minimum(jax.lax.fori_loop(0, n_tiles, passB, big), jnp.int32(65535))
+
+    # --- pass C: edge-band shrink reductions ---
+    r_init = W - 1 - edge_off
+    l_init = edge_off
+    t_init = edge_off
+    b_init = H - 1 - edge_off
+
+    def band_tile(band, primary, alt_hi, alt_lo, seed_main, seed_alt, is_min):
+        """Per-tile band logic; returns (edge, hi, lo, fail) partials."""
+        if is_min:
+            can_primary = seed_main < primary - PIXEL_BUFFER
+        else:
+            can_primary = seed_main > primary + PIXEL_BUFFER
+        can_hi = seed_alt > alt_hi + PIXEL_BUFFER
+        can_lo = seed_alt < alt_lo - PIXEL_BUFFER
+        fail = band & ~can_primary & ~can_hi & ~can_lo
+        use_hi = band & ~can_primary & can_hi & ~can_lo
+        use_lo = band & ~can_primary & can_lo & ~can_hi
+        both = band & ~can_primary & can_hi & can_lo
+        hi_loss = alt_hi - t_init
+        lo_loss = b_init - alt_lo
+        use_hi = use_hi | (both & (lo_loss > hi_loss))
+        use_lo = use_lo | (both & ~(lo_loss > hi_loss))
+        use_primary = band & can_primary
+        if is_min:
+            edge = jnp.min(jnp.where(use_primary, primary, big))
+        else:
+            edge = jnp.max(jnp.where(use_primary, primary, -big))
+        hi_val = jnp.max(jnp.where(use_hi, alt_hi, -big))
+        lo_val = jnp.min(jnp.where(use_lo, alt_lo, big))
+        return edge, hi_val, lo_val, jnp.any(fail)
+
+    def passC(ti, acc):
+        (re_, rhi, rlo, rfl, le_, lhi, llo, lfl,
+         te_, thi, tlo, tfl, be_, bhi, blo, bfl) = acc
+        img, ys = tile(ti)
+        relevant = (img > ignore) & (img < maxd)
+        shrink = shrink_ref[pl.ds(ti * TH, TH), :]
+        s_right = xs_t - shrink
+        s_left = xs_t + shrink
+        s_top = ys + shrink
+        s_bottom = ys - shrink
+        ys_in = (ys >= t) & (ys <= b)
+        xs_in = (xs_t >= l) & (xs_t <= r)
+
+        e, h, lo, f = band_tile(relevant & (xs_t >= r) & ys_in,
+                                s_right, s_top, s_bottom, x0, y0, True)
+        re_, rhi, rlo, rfl = (jnp.minimum(re_, e), jnp.maximum(rhi, h),
+                              jnp.minimum(rlo, lo), rfl | f)
+        e, h, lo, f = band_tile(relevant & (xs_t <= l) & ys_in,
+                                s_left, s_top, s_bottom, x0, y0, False)
+        le_, lhi, llo, lfl = (jnp.maximum(le_, e), jnp.maximum(lhi, h),
+                              jnp.minimum(llo, lo), lfl | f)
+        e, h, lo, f = band_tile(relevant & (ys <= t) & xs_in,
+                                s_top, s_left, s_right, y0, x0, False)
+        te_, thi, tlo, tfl = (jnp.maximum(te_, e), jnp.maximum(thi, h),
+                              jnp.minimum(tlo, lo), tfl | f)
+        e, h, lo, f = band_tile(relevant & (ys >= b) & xs_in,
+                                s_bottom, s_left, s_right, y0, x0, True)
+        be_, bhi, blo, bfl = (jnp.minimum(be_, e), jnp.maximum(bhi, h),
+                              jnp.minimum(blo, lo), bfl | f)
+        return (re_, rhi, rlo, rfl, le_, lhi, llo, lfl,
+                te_, thi, tlo, tfl, be_, bhi, blo, bfl)
+
+    accC = (big, -big, big, fbool, -big, -big, big, fbool,
+            -big, -big, big, fbool, big, -big, big, fbool)
+    accC = jax.lax.fori_loop(0, n_tiles, passC, accC)
+    (right_e, rt_hi, rt_lo, f1, left_e, lt_hi, lt_lo, f2,
+     top_e, tp_hi, tp_lo, f3, bot_e, bt_hi, bt_lo, f4) = accC
+    right_e = jnp.minimum(right_e, r_init)
+    left_e = jnp.maximum(left_e, l_init)
+    top_e = jnp.maximum(top_e, t_init)
+    bot_e = jnp.minimum(bot_e, b_init)
+    ok = ok & ~(f1 | f2 | f3 | f4)
+
+    right_f = jnp.minimum(right_e, jnp.minimum(tp_lo, bt_lo))
+    left_f = jnp.maximum(left_e, jnp.maximum(tp_hi, bt_hi))
+    top_f = jnp.maximum(top_e, jnp.maximum(rt_hi, lt_hi))
+    bottom_f = jnp.minimum(bot_e, jnp.minimum(rt_lo, lt_lo))
+
+    # --- pass D: corner-band shrink reductions ---
+    h_span = jnp.maximum(bottom_f - top_f, 1)
+    w_span = jnp.maximum(right_f - left_f, 1)
+
+    def corner_tile(band, s_a, a_is_min, a_seed_ok, s_b, b_is_min, b_seed_ok,
+                    a_loss, b_loss):
+        both_bad = band & ~a_seed_ok & ~b_seed_ok
+        use_a = band & a_seed_ok & (~b_seed_ok | (b_loss > a_loss))
+        use_b = band & b_seed_ok & ~use_a
+        a_val = jnp.where(use_a, s_a, big if a_is_min else -big)
+        a_val = jnp.min(a_val) if a_is_min else jnp.max(a_val)
+        b_val = jnp.where(use_b, s_b, big if b_is_min else -big)
+        b_val = jnp.min(b_val) if b_is_min else jnp.max(b_val)
+        return a_val, b_val, jnp.any(both_bad)
+
+    def passD(ti, acc):
+        (tr_r, tr_t, tr_f, br_r, br_b, br_f,
+         tl_l, tl_t, tl_f, bl_l, bl_b, bl_f) = acc
+        img, ys = tile(ti)
+        relevant = (img > ignore) & (img < maxd)
+        shrink = shrink_ref[pl.ds(ti * TH, TH), :]
+        s_right = xs_t - shrink
+        s_left = xs_t + shrink
+        s_top = ys + shrink
+        s_bottom = ys - shrink
+
+        # top-right: right (min) & top (max)
+        band = relevant & (xs_t >= r) & (ys <= t) & (s_right < right_f) & (s_top > top_f)
+        a, bv, f = corner_tile(
+            band, s_right, True, x0 < s_right - PIXEL_BUFFER,
+            s_top, False, y0 > s_top + PIXEL_BUFFER,
+            (right_f - s_right) * h_span, (s_top - top_f) * w_span)
+        tr_r, tr_t, tr_f = jnp.minimum(tr_r, a), jnp.maximum(tr_t, bv), tr_f | f
+
+        # bottom-right: right (min) & bottom (min)
+        band = relevant & (xs_t >= r) & (ys >= b) & (s_right < right_f) & (s_bottom < bottom_f)
+        a, bv, f = corner_tile(
+            band, s_right, True, x0 < s_right - PIXEL_BUFFER,
+            s_bottom, True, y0 < s_bottom - PIXEL_BUFFER,
+            (right_f - s_right) * h_span, (bottom_f - s_bottom) * w_span)
+        br_r, br_b, br_f = jnp.minimum(br_r, a), jnp.minimum(br_b, bv), br_f | f
+
+        # top-left: left (max) & top (max)
+        band = relevant & (xs_t <= l) & (ys <= t) & (s_left > left_f) & (s_top > top_f)
+        a, bv, f = corner_tile(
+            band, s_left, False, x0 > s_left + PIXEL_BUFFER,
+            s_top, False, y0 > s_top + PIXEL_BUFFER,
+            (s_left - left_f) * h_span, (s_top - top_f) * w_span)
+        tl_l, tl_t, tl_f = jnp.maximum(tl_l, a), jnp.maximum(tl_t, bv), tl_f | f
+
+        # bottom-left: left (max) & bottom (min)
+        band = relevant & (xs_t <= l) & (ys >= b) & (s_left > left_f) & (s_bottom < bottom_f)
+        a, bv, f = corner_tile(
+            band, s_left, False, x0 > s_left + PIXEL_BUFFER,
+            s_bottom, True, y0 < s_bottom - PIXEL_BUFFER,
+            (s_left - left_f) * h_span, (bottom_f - s_bottom) * w_span)
+        bl_l, bl_b, bl_f = jnp.maximum(bl_l, a), jnp.minimum(bl_b, bv), bl_f | f
+
+        return (tr_r, tr_t, tr_f, br_r, br_b, br_f,
+                tl_l, tl_t, tl_f, bl_l, bl_b, bl_f)
+
+    accD = (big, -big, fbool, big, big, fbool,
+            -big, -big, fbool, -big, big, fbool)
+    accD = jax.lax.fori_loop(0, n_tiles, passD, accD)
+    (tr_r, tr_t, tr_f, br_r, br_b, br_f,
+     tl_l, tl_t, tl_f, bl_l, bl_b, bl_f) = accD
+
+    right_f = jnp.minimum(right_f, jnp.minimum(tr_r, br_r))
+    top_f = jnp.maximum(top_f, jnp.maximum(tr_t, tl_t))
+    left_f = jnp.maximum(left_f, jnp.maximum(tl_l, bl_l))
+    bottom_f = jnp.minimum(bottom_f, jnp.minimum(br_b, bl_b))
+    ok = ok & ~(tr_f | br_f | tl_f | bl_f)
+
+    # final validity
+    ok = ok & (left_f + PIXEL_BUFFER < right_f - PIXEL_BUFFER)
+    ok = ok & (top_f + PIXEL_BUFFER < bottom_f - PIXEL_BUFFER)
+    ok = ok & (x0 > left_f + PIXEL_BUFFER) & (x0 < right_f - PIXEL_BUFFER)
+    ok = ok & (y0 > top_f + PIXEL_BUFFER) & (y0 < bottom_f - PIXEL_BUFFER)
+
+    row = jnp.stack(
+        [ok.astype(jnp.int32), maxd, right_f, top_f, left_f, bottom_f,
+         jnp.int32(0), jnp.int32(0)]
+    ).reshape(1, 8)
+    out_ref[pl.ds(p, 1), :] = row
+
+
+def inflate_pyramids(params, depth_u16, x0s, y0s, min_depths,
+                     shrink_extra: int = 0, interpret: bool = False):
+    """Batched pyramid inflation on TPU. Same contract as
+    jax.vmap(rappids.inflate_pyramid) restricted to its integer stage:
+    returns (ok (P,) bool, maxd (P,) int32 expanded-rect min depth,
+    edges (P, 4) int32 [right, top, left, bottom]).
+
+    The prologue (seed validity, initial rectangle) is computed in jnp with
+    the exact expressions of rappids.inflate_pyramid so results stay
+    bit-identical across the two paths.
+    """
+    cam = params.cam
+    W, H = int(cam.width), int(cam.height)
+    scale = cam.depth_scale
+    img = depth_u16.astype(jnp.int32)
+    P = x0s.shape[0]
+
+    x0i = jnp.asarray(x0s, jnp.int32)
+    y0i = jnp.asarray(y0s, jnp.int32)
+
+    edge_off = (cam.focal * params.true_radius / params.min_check_dist).astype(jnp.int32) + shrink_extra
+    ok0 = ~(
+        (x0i <= edge_off + PIXEL_BUFFER + 1)
+        | (x0i > W - edge_off - PIXEL_BUFFER - 1)
+        | (y0i <= edge_off + PIXEL_BUFFER + 1)
+        | (y0i > H - edge_off - PIXEL_BUFFER - 1)
+    )
+    min_pyr_depth = ((jnp.asarray(min_depths, jnp.float32) + params.plan_radius) / scale).astype(jnp.int32)
+    init_radius = (cam.focal * params.plan_radius / (scale * min_pyr_depth.astype(jnp.float32))).astype(jnp.int32)
+    ok0 = ok0 & (2 * init_radius < jnp.minimum(W, H) - 2 * edge_off)
+    ignore = (params.true_radius / scale).astype(jnp.int32)
+
+    top0 = jnp.where(y0i - init_radius < edge_off, edge_off,
+                     jnp.minimum(H - edge_off - 1, y0i + init_radius) - 2 * init_radius)
+    bottom0 = top0 + 2 * init_radius
+    left0 = jnp.where(x0i - init_radius < edge_off, edge_off,
+                      jnp.minimum(W - edge_off - 1, x0i + init_radius) - 2 * init_radius)
+    right0 = left0 + 2 * init_radius
+
+    numer = (cam.focal * params.plan_radius / scale).astype(jnp.int32)
+    shrink_px = numer // jnp.maximum(img, 1) + shrink_extra
+
+    bcast = lambda v: jnp.broadcast_to(jnp.asarray(v, jnp.int32), (P,))
+    seeds = jnp.stack(
+        [x0i, y0i, min_pyr_depth, left0, right0, top0, bottom0,
+         ok0.astype(jnp.int32), bcast(edge_off), bcast(ignore),
+         jnp.zeros(P, jnp.int32), jnp.zeros(P, jnp.int32)],
+        axis=1,
+    )  # (P, 12)
+
+    kernel = functools.partial(_kernel, W=W, H=H)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((P, 8), jnp.int32),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(P,),
+            in_specs=[
+                pl.BlockSpec((H, W), lambda p, s: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((H, W), lambda p, s: (0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((P, 8), lambda p, s: (0, 0),
+                                   memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )(seeds, img, shrink_px)
+
+    ok = out[:, 0] > 0
+    maxd = out[:, 1]
+    edges = out[:, 2:6]  # [right, top, left, bottom]
+    return ok, maxd, edges

@@ -14,8 +14,10 @@ becomes a fixed-shape batch pipeline:
      pyramids at the endpoint pixels of the best not-yet-coverable
      candidates, all seeds in parallel. Pyramid inflation — the reference's
      sequential spiral + shrink scans (cpp:456-970) — is reformulated as:
-       * expansion: prefix-sum "blocked" tables make each 1-px side
-         expansion an O(1) lookup inside one bounded while_loop;
+       * expansion: a bounded max-sweep fixpoint (each side jumps to the
+         nearest blocked line within the current perpendicular extent,
+         Gauss-Seidel half-steps keep the rect blocked-free) replaces the
+         reference's O(max(W,H)) sequential 1-px spiral;
        * shrink: each image band contributes its edge constraint through a
          masked min/max reduction; corner obstacles pick an edge by the
          reference's smaller-area-loss rule evaluated at the pre-shrink
@@ -199,7 +201,7 @@ def inflate_pyramid(params: PlannerParams, depth_u16, x0, y0, min_depth,
     min_depth. Returns (valid, depth, bounds(4,), normals(4,3)).
 
     depth_u16: (H, W) int32 depth codes. See module docstring for how the
-    sequential spiral becomes prefix-sum lookups. shrink_extra adds a
+    sequential spiral becomes a max-sweep fixpoint. shrink_extra adds a
     conservative pixel margin to every shrink/offset distance (used by the
     down-sampled inflation path to absorb pooled-coordinate rounding).
     """
@@ -231,8 +233,10 @@ def inflate_pyramid(params: PlannerParams, depth_u16, x0, y0, min_depth,
     left0 = jnp.where(x0i - init_radius < edge_off, edge_off, jnp.minimum(W - edge_off - 1, x0i + init_radius) - 2 * init_radius)
     right0 = left0 + 2 * init_radius
 
-    xs = jnp.arange(W)[None, :]
-    ys = jnp.arange(H)[:, None]
+    # int32 throughout (incl. under x64) so the jnp and Pallas paths share
+    # exact integer semantics
+    xs = jnp.arange(W, dtype=jnp.int32)[None, :]
+    ys = jnp.arange(H, dtype=jnp.int32)[:, None]
 
     blocked = (img > ignore) & (img < min_pyr_depth)
 
@@ -240,49 +244,42 @@ def inflate_pyramid(params: PlannerParams, depth_u16, x0, y0, min_depth,
     in_rect0 = (xs >= left0) & (xs <= right0) & (ys >= top0) & (ys <= bottom0)
     ok = ok & ~jnp.any(blocked & in_rect0)
 
-    # prefix tables: row_ps[y, x] = #blocked in row y, cols [0, x);
-    # col_ps[y, x] = #blocked in col x, rows [0, y)
-    row_ps = jnp.concatenate([jnp.zeros((H, 1), jnp.int32), jnp.cumsum(blocked, axis=1, dtype=jnp.int32)], axis=1)
-    col_ps = jnp.concatenate([jnp.zeros((1, W), jnp.int32), jnp.cumsum(blocked, axis=0, dtype=jnp.int32)], axis=0)
+    # --- max-sweep expansion (replaces cpp:522-604's 1-px spiral) ---
+    # Each round: (1) push right/left to the nearest blocked column within
+    # the current row extent [t, b]; (2) push bottom/top to the nearest
+    # blocked row within the *updated* column extent [l2, r2]. The
+    # Gauss-Seidel half-step ordering guarantees every pixel of the final
+    # rect was covered by some side's check (columns checked against the
+    # rows of their time; rows checked against the full updated columns),
+    # so the rect is blocked-free — the same invariant as the reference's
+    # spiral, reached in O(1) whole-image reductions per round instead of
+    # O(max(W, H)) sequential 1-px steps. Typically converges in 2 rounds;
+    # stopping early at the bound still yields a valid (smaller) pyramid.
+    BIGI = jnp.int32(1 << 20)
+    EXPAND_ROUNDS = 8
 
-    def col_free(x, y1, y2):  # column segment [y1, y2] at x
-        return (col_ps[y2 + 1, x] - col_ps[y1, x]) == 0
-
-    def row_free(y, x1, x2):
-        return (row_ps[y, x2 + 1] - row_ps[y, x1]) == 0
-
-    # --- round-robin expansion (cpp:522-604) ---
     def cond(st):
-        l, r, t, b, lf, rf, tf_, bf = st
-        return lf | rf | tf_ | bf
+        l, r, t, b, rounds, changed = st
+        return changed & (rounds < EXPAND_ROUNDS)
 
     def body(st):
-        l, r, t, b, lf, rf, tf_, bf = st
-        # right
-        can_r = r < W - edge_off - 1
-        free_r = col_free(jnp.clip(r + 1, 0, W - 1), t, b)
-        r = jnp.where(rf & can_r & free_r, r + 1, r)
-        rf = rf & can_r & free_r
-        # top
-        can_t = t > edge_off
-        free_t = row_free(jnp.clip(t - 1, 0, H - 1), l, r)
-        t = jnp.where(tf_ & can_t & free_t, t - 1, t)
-        tf_ = tf_ & can_t & free_t
-        # left
-        can_l = l > edge_off
-        free_l = col_free(jnp.clip(l - 1, 0, W - 1), t, b)
-        l = jnp.where(lf & can_l & free_l, l - 1, l)
-        lf = lf & can_l & free_l
-        # bottom
-        can_b = b < H - edge_off - 1
-        free_b = row_free(jnp.clip(b + 1, 0, H - 1), l, r)
-        b = jnp.where(bf & can_b & free_b, b + 1, b)
-        bf = bf & can_b & free_b
-        return (l, r, t, b, lf, rf, tf_, bf)
+        l, r, t, b, rounds, _ = st
+        in_rows = blocked & (ys >= t) & (ys <= b)
+        first_r = jnp.where(in_rows & (xs > r), xs, BIGI).min()
+        r2 = jnp.maximum(r, jnp.minimum(first_r - 1, W - 1 - edge_off))
+        last_l = jnp.where(in_rows & (xs < l), xs, -BIGI).max()
+        l2 = jnp.minimum(l, jnp.maximum(last_l + 1, edge_off))
+        in_cols = blocked & (xs >= l2) & (xs <= r2)
+        first_b = jnp.where(in_cols & (ys > b), ys, BIGI).min()
+        b2 = jnp.maximum(b, jnp.minimum(first_b - 1, H - 1 - edge_off))
+        last_t = jnp.where(in_cols & (ys < t), ys, -BIGI).max()
+        t2 = jnp.minimum(t, jnp.maximum(last_t + 1, edge_off))
+        ch = (l2 != l) | (r2 != r) | (t2 != t) | (b2 != b)
+        return (l2, r2, t2, b2, rounds + 1, ch)
 
-    tt = jnp.bool_(True)
     l, r, t, b, *_ = jax.lax.while_loop(
-        cond, body, (left0, right0, top0, bottom0, tt, tt, tt, tt)
+        cond, body,
+        (left0, right0, top0, bottom0, jnp.int32(0), jnp.bool_(True)),
     )
 
     # base depth: min unmasked depth inside the expanded rect (conservative
@@ -459,9 +456,17 @@ def inflate_pyramid(params: PlannerParams, depth_u16, x0, y0, min_depth,
     return ok, depth_out, bounds, normals
 
 
+def _use_pallas_inflation() -> bool:
+    """Production path on TPU; jnp elsewhere (tests force cpu)."""
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
 def build_pyramid_set(params: PlannerParams, depth_u16, seed_px, seed_py,
                       seed_depth, seed_valid, capacity,
-                      downsample: int = 1) -> PyramidSet:
+                      downsample: int = 1, use_pallas=None) -> PyramidSet:
     """Inflate pyramids at up to `capacity` seeds (vmapped), depth-sorted.
 
     downsample k > 1 runs the inflation on a k x k masked-min-pooled image
@@ -469,6 +474,10 @@ def build_pyramid_set(params: PlannerParams, depth_u16, seed_px, seed_py,
     base depth is the exact full-res minimum, and a +1-pooled-pixel margin
     absorbs coordinate rounding — strictly conservative, ~k^2 cheaper.
     Output pixel bounds are rescaled to full-resolution coordinates.
+
+    use_pallas: None = auto (TPU backend); the Pallas kernel
+    (planner/pallas_inflate.py) is bit-identical to the jnp path and keeps
+    the image in VMEM instead of doing ~30 HBM passes per seed.
     """
     cam = params.cam
     img = depth_u16.astype(jnp.int32)
@@ -490,9 +499,27 @@ def build_pyramid_set(params: PlannerParams, depth_u16, seed_px, seed_py,
         seed_py = seed_py / k
 
     shrink_extra = 1 if k > 1 else 0
-    ok, depth, bounds, normals = jax.vmap(
-        lambda x, y, d: inflate_pyramid(work_params, img, x, y, d, shrink_extra)
-    )(seed_px.astype(jnp.int32), seed_py.astype(jnp.int32), seed_depth)
+    if use_pallas is None:
+        use_pallas = _use_pallas_inflation()
+    if use_pallas:
+        from agrifly_tpu.planner import pallas_inflate
+
+        ok, maxd, edges = pallas_inflate.inflate_pyramids(
+            work_params, img, seed_px.astype(jnp.int32),
+            seed_py.astype(jnp.int32), seed_depth, shrink_extra,
+        )
+        base_depth = maxd.astype(jnp.float32) * cam.depth_scale - params.plan_radius
+        wcam = work_params.cam
+        bounds, normals = jax.vmap(
+            lambda e, d: _pyramid_from_edges(
+                wcam, e[0].astype(jnp.float32), e[1].astype(jnp.float32),
+                e[2].astype(jnp.float32), e[3].astype(jnp.float32), d)
+        )(edges, base_depth)
+        depth = jnp.where(ok, base_depth, jnp.inf)
+    else:
+        ok, depth, bounds, normals = jax.vmap(
+            lambda x, y, d: inflate_pyramid(work_params, img, x, y, d, shrink_extra)
+        )(seed_px.astype(jnp.int32), seed_py.astype(jnp.int32), seed_depth)
     if k > 1:
         bounds = bounds * k
     ok = ok & seed_valid
@@ -621,34 +648,54 @@ def _deepest_collision_time(tr_one, normals, t1, t2, increasing):
     return any_hit, t_col
 
 
-def is_collision_free(params: PlannerParams, pyrs: PyramidSet, tr_one):
+def is_collision_free(params: PlannerParams, pyrs: PyramidSet, tr_one,
+                      enabled=True):
+    """Pyramid-partition collision check of one camera-frame candidate.
+
+    Returns a bool. See collision_check for the full-result variant."""
+    free, _, _, _ = collision_check(params, pyrs, tr_one, enabled)
+    return free
+
+
+def collision_check(params: PlannerParams, pyrs: PyramidSet, tr_one,
+                    enabled=True):
     """Pyramid-partition collision check of one camera-frame candidate.
 
     Fixed-capacity redesign of IsCollisionFree (cpp:214-301): a bounded loop
     pops monotone sections from a stack; each pop either resolves the
     section inside a pyramid or splits off the out-of-pyramid remainder.
     A section whose deepest point has no containing pyramid marks the
-    trajectory as colliding (the reference would try to inflate one there).
+    trajectory as colliding — and its deepest point is *returned* so the
+    caller can lazily inflate a pyramid there and re-check, reproducing the
+    reference's on-demand inflation (DepthImagePlanner.cpp:270-273).
+
+    enabled=False skips all work (used to re-check only failed candidates).
+    Returns (free, fail_px, fail_py, fail_depth): the pixel + depth of the
+    first uncovered section's deepest point (0s when none).
     """
     t1s, t2s, valid = monotonic_sections(tr_one)
 
     stack_t1 = t1s
     stack_t2 = t2s
-    stack_n = jnp.int32(MAX_SECTIONS)  # fixed slots; invalid ones no-op
-    stack_live = valid
+    stack_live = valid & jnp.asarray(enabled)
 
     def cond(st):
-        i, live, _, _, status = st
+        i, live, _, _, status, _ = st
         return (i < MAX_CHECK_ITERS) & jnp.any(live) & (status == 0)
 
+    slot_iota = jnp.arange(MAX_SECTIONS)
+    pyr_iota = jnp.arange(pyrs.depth.shape[0])
+
     def body(st):
-        i, live, t1s, t2s, status = st
+        i, live, t1s, t2s, status, fail = st
         # pop the live section with the deepest endpoint... reference pops
         # sorted-by-deepest; order only affects pyramid reuse, not result.
+        # One-hot select/update throughout: dynamic indexing lowers to
+        # gather/scatter under vmap over candidates and dominated the check.
         idx = jnp.argmax(live)
-        t1 = t1s[idx]
-        t2 = t2s[idx]
-        live2 = live.at[idx].set(False)
+        oh = slot_iota == idx
+        t1 = jnp.where(oh, t1s, 0.0).sum()
+        t2 = jnp.where(oh, t2s, 0.0).sum()
 
         z1 = _z_at(tr_one, t1)
         z2 = _z_at(tr_one, t2)
@@ -675,10 +722,17 @@ def is_collision_free(params: PlannerParams, pyrs: PyramidSet, tr_one):
         px, py = project(params.cam, pos_deep)
         found, pidx = find_containing_pyramid(pyrs, px, py, deep_z)
 
-        # no pyramid -> collision (conservative)
-        status2 = jnp.where(~skip & ~found, jnp.int32(2), status)
+        # no pyramid -> collision (conservative); remember where, so the
+        # caller can inflate a pyramid there on demand
+        no_cover = ~skip & ~found
+        status2 = jnp.where(no_cover, jnp.int32(2), status)
+        fail = jax.tree_util.tree_map(
+            lambda f, v: jnp.where(no_cover & (status == 0), v, f),
+            fail, (px, py, deep_z),
+        )
 
-        normals = pyrs.normals[pidx]
+        oh_p = pyr_iota == pidx
+        normals = jnp.where(oh_p[:, None, None], pyrs.normals, 0.0).sum(0)
         hit, t_col = _deepest_collision_time(tr_one, normals, t1, t2, increasing)
 
         # remainder section outside the pyramid
@@ -686,18 +740,22 @@ def is_collision_free(params: PlannerParams, pyrs: PyramidSet, tr_one):
         new_t2 = jnp.where(increasing, t_col, t2)
         push = ~skip & found & hit & ((new_t2 - new_t1) > 1e-6)
         # write remainder into the freed slot
-        t1s2 = t1s.at[idx].set(jnp.where(push, new_t1, t1s[idx]))
-        t2s2 = t2s.at[idx].set(jnp.where(push, new_t2, t2s[idx]))
-        live3 = live2.at[idx].set(push)
+        t1s2 = jnp.where(oh & push, new_t1, t1s)
+        t2s2 = jnp.where(oh & push, new_t2, t2s)
+        live3 = jnp.where(oh, push, live)
 
-        return (i + 1, live3, t1s2, t2s2, status2)
+        return (i + 1, live3, t1s2, t2s2, status2, fail)
 
-    i, live, _, _, status = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), stack_live, stack_t1, stack_t2, jnp.int32(0))
+    zf = jnp.float32(0.0)
+    i, live, _, _, status, fail = jax.lax.while_loop(
+        cond, body,
+        (jnp.int32(0), stack_live, stack_t1, stack_t2, jnp.int32(0),
+         (zf, zf, zf)),
     )
     # unresolved sections after the iteration cap: conservative collision
     unresolved = jnp.any(live)
-    return (status == 0) & ~unresolved
+    free = (status == 0) & ~unresolved
+    return free, fail[0], fail[1], fail[2]
 
 
 # =============================================================================
@@ -720,14 +778,47 @@ class PlanResult(NamedTuple):
 
 def plan(params: PlannerParams, depth_u16, key, vel0, acc0, grav, goal_cam,
          n_candidates=512, pyramid_capacity=32, rounds=2,
-         inflation_downsample=1, cost_fn=None):
+         inflation_downsample=1, cost_fn=None, lazy_rounds=1):
     """One planning call: sample, gate, build pyramids, pick the best.
 
     All arguments are camera-frame (the caller rotates world state by the
     camera attitude, as in Rappids_Simulator/main.cpp:489-495).
     cost_fn: optional Traj -> (N,) costs; defaults to the goal-progress
     exploration cost using goal_cam.
+    lazy_rounds: extra pyramid rounds seeded from the uncovered deepest
+    points of failed candidates (the reference's on-demand inflation,
+    DepthImagePlanner.cpp:270-273). The pyramid capacity is split across
+    rounds + lazy_rounds.
     """
+    tr, cost, feas, vel_ok, gate, collision_free, pyrs = _plan_core(
+        params, depth_u16, key, vel0, acc0, grav, goal_cam, n_candidates,
+        pyramid_capacity, rounds, inflation_downsample, cost_fn, lazy_rounds,
+    )
+    ok = gate & collision_free
+    best_cost = jnp.where(ok, cost, jnp.inf)
+    best_idx = jnp.argmin(best_cost)
+    found = jnp.any(ok)
+
+    best_traj = jax.tree_util.tree_map(lambda x: x[best_idx], tr)
+    return PlanResult(
+        found=found,
+        best_idx=best_idx,
+        best_cost=best_cost[best_idx],
+        traj=best_traj,
+        num_candidates=jnp.int32(n_candidates),
+        num_feasible=feas.sum().astype(jnp.int32),
+        num_velocity_admissible=(feas & vel_ok).sum().astype(jnp.int32),
+        num_collision_free=ok.sum().astype(jnp.int32),
+        num_pyramids=pyrs.valid.sum().astype(jnp.int32),
+    )
+
+
+def _plan_core(params, depth_u16, key, vel0, acc0, grav, goal_cam,
+               n_candidates, pyramid_capacity, rounds, inflation_downsample,
+               cost_fn, lazy_rounds):
+    """Shared planning pipeline: sample, gate, pyramid rounds (pre-planned
+    + lazy on-demand), collision labels. Returns
+    (tr, cost, feas, vel_ok, gate, collision_free, pyrs)."""
     tr = sample_candidates(params, key, n_candidates, vel0, acc0, grav)
     if cost_fn is None:
         cost = exploration_cost(tr, jnp.asarray(goal_cam, jnp.float32))
@@ -747,7 +838,7 @@ def plan(params: PlannerParams, depth_u16, key, vel0, acc0, grav, goal_cam,
     order = jnp.argsort(jnp.where(gate, cost, jnp.inf))
 
     pyrs = empty_pyramid_set(pyramid_capacity)
-    per_round = pyramid_capacity // rounds
+    per_round = pyramid_capacity // (rounds + lazy_rounds)
 
     for rnd in range(rounds):
         take = order[rnd * per_round : (rnd + 1) * per_round]
@@ -766,27 +857,62 @@ def plan(params: PlannerParams, depth_u16, key, vel0, acc0, grav, goal_cam,
             empty_pyramid_set(pyramid_capacity - per_round), new_pyrs
         )
 
-    collision_free = jax.vmap(
-        lambda i: is_collision_free(params, pyrs, jax.tree_util.tree_map(lambda x: x[i], tr))
+    collision_free, fail_px, fail_py, fail_z = jax.vmap(
+        lambda i: collision_check(params, pyrs, jax.tree_util.tree_map(lambda x: x[i], tr))
     )(jnp.arange(n_candidates))
 
-    ok = gate & collision_free
-    best_cost = jnp.where(ok, cost, jnp.inf)
-    best_idx = jnp.argmin(best_cost)
-    found = jnp.any(ok)
+    # on-demand rounds (DepthImagePlanner.cpp:270-273 lazy inflation): the
+    # cheapest gated candidates that failed for lack of a *covering pyramid*
+    # donate their uncovered deepest points as new inflation seeds, then
+    # only the failed candidates are re-checked against the enlarged set.
+    img_i = depth_u16.astype(jnp.int32)
+    ignore_i = (params.true_radius / params.cam.depth_scale).astype(jnp.int32)
 
-    best_traj = jax.tree_util.tree_map(lambda x: x[best_idx], tr)
-    return PlanResult(
-        found=found,
-        best_idx=best_idx,
-        best_cost=best_cost[best_idx],
-        traj=best_traj,
-        num_candidates=jnp.int32(n_candidates),
-        num_feasible=feas.sum().astype(jnp.int32),
-        num_velocity_admissible=(feas & vel_ok).sum().astype(jnp.int32),
-        num_collision_free=ok.sum().astype(jnp.int32),
-        num_pyramids=pyrs.valid.sum().astype(jnp.int32),
-    )
+    for _ in range(lazy_rounds):
+        failed = gate & ~collision_free & (fail_z > 0)
+        # exact seed pre-filter: a fail point whose own pixel is blocked
+        # shallower than the required pyramid depth can never inflate (the
+        # genuinely-colliding candidates fail exactly this way), so don't
+        # let them crowd the cheap end of the seed ordering
+        pxi = jnp.clip(fail_px.astype(jnp.int32), 0, params.cam.width - 1)
+        pyi = jnp.clip(fail_py.astype(jnp.int32), 0, params.cam.height - 1)
+        seed_code = img_i[pyi, pxi]
+        minpyr_i = (
+            (fail_z + params.cam.depth_scale + params.plan_radius)
+            / params.cam.depth_scale
+        ).astype(jnp.int32)
+        seedable = failed & ((seed_code <= ignore_i) | (seed_code >= minpyr_i))
+        order2 = jnp.argsort(jnp.where(seedable, cost, jnp.inf))
+        # consider 4x more candidate fail points than slots: nearby
+        # failures duplicate; build_pyramid_set keeps the best per_round
+        # valid pyramids of the batch.
+        take = order2[: 4 * per_round]
+        seed_valid = seedable[take]
+        covered, _ = jax.vmap(
+            lambda x, y, d: find_containing_pyramid(pyrs, x, y, d)
+        )(fail_px[take], fail_py[take], fail_z[take])
+        seed_valid = seed_valid & ~covered
+        new_pyrs = build_pyramid_set(
+            params, depth_u16, fail_px[take], fail_py[take],
+            # seed depth = the uncovered point's depth plus one depth-code
+            # quantum: inflate floors (min_depth + plan_radius)/scale to an
+            # int code, so without the bump the pyramid base can land just
+            # below fail_z and find_containing_pyramid still misses
+            fail_z[take] + params.cam.depth_scale, seed_valid, per_round,
+            downsample=inflation_downsample,
+        )
+        pyrs = merge_pyramid_sets(pyrs, new_pyrs)
+        refree, fail_px2, fail_py2, fail_z2 = jax.vmap(
+            lambda i: collision_check(
+                params, pyrs, jax.tree_util.tree_map(lambda x: x[i], tr),
+                enabled=failed[i])
+        )(jnp.arange(n_candidates))
+        collision_free = jnp.where(failed, refree, collision_free)
+        fail_px = jnp.where(failed, fail_px2, fail_px)
+        fail_py = jnp.where(failed, fail_py2, fail_py)
+        fail_z = jnp.where(failed, fail_z2, fail_z)
+
+    return tr, cost, feas, vel_ok, gate, collision_free, pyrs
 
 
 # =============================================================================
@@ -827,6 +953,42 @@ def measure_conservativeness(params: PlannerParams, depth_u16, key, vel0,
     num_correct = jnp.sum(collides_planner & collides_oracle)
     num_incorrect = jnp.sum(collides_planner & ~collides_oracle)
     return num_incorrect.astype(jnp.int32), num_correct.astype(jnp.int32)
+
+
+def measure_plan_conservativeness(params: PlannerParams, depth_u16, key, vel0,
+                                  acc0, grav, goal_cam, n_candidates=256,
+                                  pyramid_capacity=32, rounds=2,
+                                  lazy_rounds=1, inflation_downsample=1):
+    """plan()-level conservativeness vs the ray-sphere oracle.
+
+    Unlike measure_conservativeness (which seeds pyramids from every
+    candidate's own endpoint), this uses plan()'s real round structure, so
+    it quantifies what the lazy on-demand rounds buy: candidates the planner
+    mislabels in-collision *because no pyramid covered a section*.
+
+    Returns (num_incorrect_in_collision, num_correct_in_collision,
+    num_collision_free) as int32 scalars.
+    """
+    import jax as _jax
+
+    from agrifly_tpu.planner import oracle as _oracle
+
+    tr, cost, feas, vel_ok, gate, collision_free, pyrs = _plan_core(
+        params, depth_u16, key, vel0, acc0, grav, goal_cam, n_candidates,
+        pyramid_capacity, rounds, inflation_downsample, None, lazy_rounds,
+    )
+    free_oracle = _jax.vmap(
+        lambda i: _oracle.is_collision_free_ground_truth(
+            params, depth_u16, _jax.tree_util.tree_map(lambda x: x[i], tr))
+    )(jnp.arange(n_candidates))
+
+    collides_planner = gate & ~collision_free
+    collides_oracle = ~free_oracle
+    num_incorrect = jnp.sum(collides_planner & ~collides_oracle)
+    num_correct = jnp.sum(collides_planner & collides_oracle)
+    num_free = jnp.sum(gate & collision_free)
+    return (num_incorrect.astype(jnp.int32), num_correct.astype(jnp.int32),
+            num_free.astype(jnp.int32))
 
 
 def measure_collision_checking_speed(params: PlannerParams, depth_u16, key,

@@ -301,12 +301,16 @@ def check_input_feasibility(tr: Traj, grav, fmin_allowed=5.0, fmax_allowed=30.0,
     return ok
 
 
-def check_velocity_feasibility(tr: Traj, vmax):
+def check_velocity_feasibility(tr: Traj, vmax, strict_degenerate: bool = True):
     """Per-axis |v| < vmax proof via cubic acceleration roots
     (RapidTrajectoryGenerator.cpp:163-208). Returns bool (True = feasible).
 
-    Bug-compatible: an axis whose jerk cubic degenerates (|alpha| ~ 0)
-    is declared infeasible, as in the reference's unimplemented branch.
+    strict_degenerate=True is bug-compatible with the reference: an axis
+    whose acceleration cubic degenerates (|alpha| ~ 0) is declared
+    infeasible (the reference's unimplemented branch). False evaluates
+    degenerate axes correctly via the quadratic acceleration roots —
+    useful because this framework's candidates can legitimately have
+    straight-line constant-jerk axes.
     """
     c0 = tr.alpha / 6.0
     c1 = tr.beta / 2.0
@@ -316,6 +320,14 @@ def check_velocity_feasibility(tr: Traj, vmax):
 
     safe_c0 = jnp.where(degenerate, 1.0, c0)
     roots, valid = rootfind.solve_cubic(c1 / safe_c0, c2 / safe_c0, c3 / safe_c0)
+    if not strict_degenerate:
+        # degenerate axis: acceleration = beta/2 t^2 + gamma t + a0
+        qroots, qvalid = rootfind.solve_quadratic(c1, c2, c3)
+        pad = jnp.zeros(qroots.shape[:-1] + (1,), qroots.dtype)
+        qroots3 = jnp.concatenate([qroots, pad], axis=-1)
+        qvalid3 = jnp.concatenate([qvalid, jnp.zeros(pad.shape, bool)], axis=-1)
+        roots = jnp.where(degenerate[..., None], qroots3.astype(roots.dtype), roots)
+        valid = jnp.where(degenerate[..., None], qvalid3, valid)
     # candidate times: 3 roots + endpoints 0, tf  -> (..., 3, 5)
     tf = tr.tf[..., None, None]
     zeros = jnp.zeros_like(tf)
@@ -333,7 +345,9 @@ def check_velocity_feasibility(tr: Traj, vmax):
         + tr.alpha[..., None, None, :] * t_flat**4 / 24.0
     )  # (..., 3, 5, 3)
     exceeded = jnp.any(jnp.abs(v) >= vmax, axis=-1) & tvalid  # (..., 3, 5)
-    infeasible = jnp.any(exceeded, axis=(-2, -1)) | jnp.any(degenerate, axis=-1)
+    infeasible = jnp.any(exceeded, axis=(-2, -1))
+    if strict_degenerate:
+        infeasible = infeasible | jnp.any(degenerate, axis=-1)
     return ~infeasible
 
 

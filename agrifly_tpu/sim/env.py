@@ -112,7 +112,8 @@ def make_params(
 
 def with_uwb_anchors(params: EnvParams, anchor_ids, anchor_positions,
                      vehicle_id=1, comm_period=0.01, noise_std=0.0,
-                     outlier_prob=0.0, outlier_std=0.0) -> EnvParams:
+                     outlier_prob=0.0, outlier_std=0.0, failure_prob=0.0,
+                     max_range=float("inf")) -> EnvParams:
     """Enable UWB-based onboard navigation: install anchors in the onboard
     logic's ranging-target DB and build the network radio table
     (row 0 = the vehicle, then the anchors)."""
@@ -123,6 +124,7 @@ def with_uwb_anchors(params: EnvParams, anchor_ids, anchor_positions,
     uwb_p = uwb_mod.make_params(
         radio_ids, comm_period=comm_period, noise_std=noise_std,
         outlier_prob=outlier_prob, outlier_std=outlier_std,
+        failure_prob=failure_prob, max_range=max_range,
     )
     return params._replace(logic=logic_p, uwb=uwb_p)
 

@@ -85,6 +85,30 @@ class MissionCommand(NamedTuple):
     use_tracking: jnp.ndarray  # bool: caller should use RunTracking refs
 
 
+def load_trajectory_file(path):
+    """Parse a waypoint file in the reference's trajectory.txt format
+    (QuadRappidsPlannerAndController/trajectory.txt, consumed line-by-line
+    by ExampleVehicleStateMachine.cpp:450-465): one "x,y,z" per line.
+    Blank lines and '#' comments are skipped. Returns a list of 3-tuples."""
+    waypoints = []
+    with open(path) as f:
+        for lineno, line in enumerate(f, 1):
+            line = line.split("#", 1)[0].strip()
+            if not line:
+                continue
+            parts = line.split(",")
+            if len(parts) < 3:
+                raise ValueError(
+                    f"{path}:{lineno}: expected 'x,y,z', got {line!r}")
+            waypoints.append(tuple(float(p) for p in parts[:3]))
+    if not waypoints:
+        raise ValueError(f"{path}: no waypoints found")
+    if len(waypoints) > MAX_WAYPOINTS:
+        raise ValueError(
+            f"{path}: {len(waypoints)} waypoints > MAX_WAYPOINTS={MAX_WAYPOINTS}")
+    return waypoints
+
+
 def make_params(desired_position=(0.0, 0.0, 2.0), waypoints=((20.0, 0.0, 2.5),)) -> MissionParams:
     import numpy as np
 

@@ -46,7 +46,8 @@ class OrchardEnvParams(NamedTuple):
     scene: orch.OrchardParams
     render_cfg: raycast.RenderConfig
     planner: rappids.PlannerParams
-    goal_world: jnp.ndarray  # (3,)
+    waypoints: jnp.ndarray  # (mission.MAX_WAYPOINTS, 3) world-frame goals
+    num_waypoints: jnp.ndarray  # int32
     takeoff_height: jnp.ndarray
     start_flight_step: jnp.ndarray  # int32 sim step when planning begins
     steps_per_frame: int  # static
@@ -56,6 +57,7 @@ class OrchardEnvParams(NamedTuple):
     inflation_downsample: int  # static: pooled pyramid inflation factor
     use_pallas: bool  # static
     track_lookahead: jnp.ndarray  # 0.04 s (main.cpp:571)
+    land: bool  # static: descend + settle after the last waypoint
 
 
 class PlannedTraj(NamedTuple):
@@ -84,11 +86,22 @@ def _null_planned() -> PlannedTraj:
     )
 
 
+# mission sub-stages of the orchard profile (waypoint flight per
+# ExampleVehicleStateMachine.cpp:702-730 switching; landing per :744-770)
+MSTAGE_CRUISE = 0
+MSTAGE_LANDING = 1
+MSTAGE_COMPLETE = 2
+
+
 class OrchardEnvState(NamedTuple):
     base: env_mod.EnvState
     planned: PlannedTraj
     plan_count: jnp.ndarray  # int32 successful plans
     frame_count: jnp.ndarray  # int32
+    waypoint_idx: jnp.ndarray  # int32
+    mstage: jnp.ndarray  # int32 MSTAGE_*
+    land_pos: jnp.ndarray  # (3,) est position at landing entry
+    land_start_step: jnp.ndarray  # int32
 
 
 def make_params(
@@ -104,7 +117,14 @@ def make_params(
     width=640, height=480,
     seed=0,
     noise_scale=1.0,
+    waypoints=None,
+    land=False,
 ) -> OrchardEnvParams:
+    """waypoints: optional sequence of (x, y, z) goals flown in order with
+    the reference's 1 m switching radius (trajectory.txt missions,
+    ExampleVehicleStateMachine.cpp:450-465,702-730); defaults to the single
+    `goal_world`. land=True descends at 0.5 m/s after the last waypoint and
+    idles the motors on touchdown."""
     base = env_mod.make_params(noise_scale=noise_scale)
     scene = orch.make_params(seed=seed)
     cfg = raycast.make_config(width, height, far=10.0, dda_steps=8)
@@ -118,9 +138,22 @@ def make_params(
         cam, true_radius=2 * v.arm_length, plan_radius=3 * v.arm_length,
         min_check_dist=0.5,
     )
+    import numpy as np
+
+    from agrifly_tpu.sim import mission as mission_mod
+
+    if waypoints is None:
+        waypoints = (tuple(goal_world),)
+    wps = np.asarray(waypoints, np.float32)
+    if len(wps) > mission_mod.MAX_WAYPOINTS:
+        raise ValueError(f"{len(wps)} waypoints > {mission_mod.MAX_WAYPOINTS}")
+    wp = np.zeros((mission_mod.MAX_WAYPOINTS, 3), np.float32)
+    wp[: len(wps)] = wps
+
     return OrchardEnvParams(
         base=base, scene=scene, render_cfg=cfg, planner=planner,
-        goal_world=jnp.asarray(goal_world, jnp.float32),
+        waypoints=jnp.asarray(wp),
+        num_waypoints=jnp.int32(len(wps)),
         takeoff_height=jnp.float32(takeoff_height),
         start_flight_step=jnp.int32(round(start_flight_time * 500)),
         steps_per_frame=int(steps_per_frame),
@@ -130,6 +163,7 @@ def make_params(
         inflation_downsample=int(inflation_downsample),
         use_pallas=bool(use_pallas),
         track_lookahead=jnp.float32(0.04),
+        land=bool(land),
     )
 
 
@@ -139,6 +173,10 @@ def init_state(params: OrchardEnvParams, key, pos=(0.0, 0.0, 0.0)) -> OrchardEnv
         planned=_null_planned(),
         plan_count=jnp.int32(0),
         frame_count=jnp.int32(0),
+        waypoint_idx=jnp.int32(0),
+        mstage=jnp.int32(MSTAGE_CRUISE),
+        land_pos=jnp.zeros(3, jnp.float32),
+        land_start_step=jnp.int32(0),
     )
 
 
@@ -202,9 +240,29 @@ def _sim_tick(params: OrchardEnvParams, s: OrchardEnvState) -> OrchardEnvState:
         jnp.array([0.0, 0.0, 2.0], jnp.float32),
         jnp.stack([jnp.float32(0.0), jnp.float32(0.0), params.takeoff_height]),
     )
-    angvel_hover, thrust_hover = offboard_ctrl.run(
-        p.ctrl, est_pos, est_vel, est_att, hover_pos,
+
+    # landing descent target (mission.py semantics: 0.5 m/s with a blend-in)
+    from agrifly_tpu.sim import mission as mission_mod
+
+    landing = s.mstage == MSTAGE_LANDING
+    t_land = jnp.maximum(base.step - s.land_start_step, 0).astype(jnp.float32) * (
+        p.dt_us.astype(jnp.float32) * 1e-6
     )
+    frac_ld = jnp.clip(t_land / mission_mod.LANDING_BLEND_TIME, 0.0, 1.0)
+    descend = jnp.array([0.0, 0.0, -mission_mod.LANDING_SPEED], jnp.float32)
+    pos_land = s.land_pos + frac_ld * t_land * descend
+    vel_land = frac_ld * descend
+    settled = s.mstage == MSTAGE_COMPLETE
+    not_cruise = landing | settled
+    hover_pos = jnp.where(not_cruise, pos_land, hover_pos)
+    hover_vel = jnp.where(not_cruise, vel_land, jnp.zeros(3, jnp.float32))
+    angvel_hover, thrust_hover = offboard_ctrl.run(
+        p.ctrl, est_pos, est_vel, est_att, hover_pos, hover_vel,
+    )
+
+    # touchdown -> complete (motors idled below)
+    mstage = jnp.where(landing & (pos_land[2] < 0.0),
+                       jnp.int32(MSTAGE_COMPLETE), s.mstage)
 
     # tracking control
     ref_pos, ref_vel, ref_acc, ref_thrust, ref_angvel_w = _tracking_refs(
@@ -216,11 +274,16 @@ def _sim_tick(params: OrchardEnvParams, s: OrchardEnvState) -> OrchardEnvState:
         jnp.float32(0.0), ref_thrust, ref_angvel_body,
     )
 
-    track = in_flight & s.planned.planned
+    track = in_flight & s.planned.planned & (mstage == MSTAGE_CRUISE)
     cmd_angvel = jnp.where(track, angvel_track, angvel_hover)
     cmd_thrust = jnp.where(track, thrust_track, thrust_hover)
 
     rtype, rflags, rfields = radio.make_rates_command(cmd_thrust, cmd_angvel)
+    itype, iflags, ifields = radio.make_idle_command()
+    idle = mstage == MSTAGE_COMPLETE
+    rtype = jnp.where(idle, itype, rtype)
+    rflags = jnp.where(idle, iflags, rflags)
+    rfields = jnp.where(idle, ifields, rfields)
     ring = delayline.push(half["ring"], rtype, rflags, rfields, base.step, fire)
 
     # latency-compensation feedback into the estimator pipe
@@ -237,7 +300,7 @@ def _sim_tick(params: OrchardEnvParams, s: OrchardEnvState) -> OrchardEnvState:
         mocap=mocap, mocap_acc_us=half["mocap_acc_us"],
         gpsimu=half["gpsimu"], gps_acc_us=half["gps_acc_us"], uwb=half["uwb"],
     )
-    return s._replace(base=new_base)
+    return s._replace(base=new_base, mstage=mstage)
 
 
 def frame_step(params: OrchardEnvParams, s: OrchardEnvState):
@@ -276,7 +339,31 @@ def frame_step(params: OrchardEnvParams, s: OrchardEnvState):
         * base.last_cmd_thrust + GRAV_W
     )
     grav_cam = R_wc.T @ GRAV_W
-    goal_cam = R_wc.T @ (params.goal_world - est_pos)
+
+    # waypoint switching at the reference's 1 m radius
+    # (ExampleVehicleStateMachine.cpp:702-730); after the last waypoint,
+    # optionally enter the landing descent
+    from agrifly_tpu.sim import mission as mission_mod
+
+    in_flight_wp = base.step >= params.start_flight_step
+    wp_iota = jnp.arange(params.waypoints.shape[0])
+    goal_world = (params.waypoints * (wp_iota == s.waypoint_idx)[:, None]).sum(0)
+    at_wp = (
+        in_flight_wp & (s.mstage == MSTAGE_CRUISE)
+        & (jnp.linalg.norm(goal_world - est_pos) < mission_mod.WAYPOINT_RADIUS)
+    )
+    has_next = s.waypoint_idx + 1 < params.num_waypoints
+    waypoint_idx = jnp.where(at_wp & has_next, s.waypoint_idx + 1, s.waypoint_idx)
+    mstage = s.mstage
+    land_pos = s.land_pos
+    land_start_step = s.land_start_step
+    if params.land:
+        enter_land = at_wp & ~has_next
+        mstage = jnp.where(enter_land, jnp.int32(MSTAGE_LANDING), mstage)
+        land_pos = jnp.where(enter_land, est_pos, land_pos)
+        land_start_step = jnp.where(enter_land, base.step, land_start_step)
+    goal_world = (params.waypoints * (wp_iota == waypoint_idx)[:, None]).sum(0)
+    goal_cam = R_wc.T @ (goal_world - est_pos)
 
     key, sub = jax.random.split(base.key)
     res = rappids.plan(
@@ -288,7 +375,7 @@ def frame_step(params: OrchardEnvParams, s: OrchardEnvState):
     )
 
     in_flight = base.step >= params.start_flight_step
-    adopt = res.found & in_flight
+    adopt = res.found & in_flight & (mstage == MSTAGE_CRUISE)
     new_planned = PlannedTraj(
         planned=jnp.where(adopt, jnp.bool_(True), s.planned.planned),
         alpha=jnp.where(adopt, res.traj.alpha, s.planned.alpha),
@@ -309,6 +396,10 @@ def frame_step(params: OrchardEnvParams, s: OrchardEnvState):
         planned=new_planned,
         plan_count=s.plan_count + adopt.astype(jnp.int32),
         frame_count=s.frame_count + 1,
+        waypoint_idx=waypoint_idx,
+        mstage=mstage,
+        land_pos=land_pos,
+        land_start_step=land_start_step,
     )
 
     # 3. physics ticks
@@ -322,6 +413,10 @@ def frame_step(params: OrchardEnvParams, s: OrchardEnvState):
         flight_state=s.base.logic.fs, panic=s.base.logic.panic_reason,
         plan_found=res.found, num_collision_free=res.num_collision_free,
         num_pyramids=res.num_pyramids, best_cost=res.best_cost,
+        num_feasible=res.num_feasible,
+        num_velocity_admissible=res.num_velocity_admissible,
+        plan_vel_cam=vel_cam, plan_acc_cam=acc_cam, plan_grav_cam=grav_cam,
+        goal_world=goal_world,
     )
     return s, outputs
 

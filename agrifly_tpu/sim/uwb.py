@@ -26,6 +26,8 @@ class UwbParams(NamedTuple):
     outlier_std: jnp.ndarray  # f32
     radio_ids: jnp.ndarray  # (R,) int32: vehicles then anchors; 0 = unused slot
     num_radios: jnp.ndarray  # int32
+    failure_prob: jnp.ndarray  # f32: transaction completes but is reported failed
+    max_range: jnp.ndarray  # f32: beyond this the responder never hears (silence)
 
 
 class UwbState(NamedTuple):
@@ -45,7 +47,15 @@ class UwbMeasurement(NamedTuple):
 
 
 def make_params(radio_ids, comm_period=0.01, noise_std=0.0, outlier_prob=0.0,
-                outlier_std=0.0, max_radios=None) -> UwbParams:
+                outlier_std=0.0, max_radios=None, failure_prob=0.0,
+                max_range=jnp.inf) -> UwbParams:
+    """failure_prob: probability a completed transaction is reported as
+    failed (the reference's UwbMeasurement.failure flag, which its network
+    hardwires false with a 'todo: fail like real life' — UWBNetwork.cpp:77;
+    onboard consumes it by skipping the KF update, QuadcopterLogic.cpp:253).
+    max_range: transactions whose true range exceeds this never complete at
+    all — out-of-range radios are silent, so the onboard no-UWB panic
+    (QuadcopterLogic.cpp:358-362) can fire from a real network condition."""
     import numpy as np
 
     ids = np.asarray(radio_ids, np.int32)
@@ -60,6 +70,8 @@ def make_params(radio_ids, comm_period=0.01, noise_std=0.0, outlier_prob=0.0,
         outlier_std=jnp.float32(outlier_std),
         radio_ids=jnp.asarray(padded),
         num_radios=jnp.int32(len(ids)),
+        failure_prob=jnp.float32(failure_prob),
+        max_range=jnp.float32(max_range),
     )
 
 
@@ -99,23 +111,29 @@ def step(p: UwbParams, s: UwbState, positions, next_target_ids, dt_us):
     req_pos = positions[jnp.argmax(req_match)]
     res_pos = positions[jnp.argmax(res_match)]
 
-    key, k1, k2, k3 = jax.random.split(s.key, 4)
+    key, k1, k2, k3, k4 = jax.random.split(s.key, 5)
     is_outlier = jax.random.uniform(k1) < p.outlier_prob
     outlier_range = jax.random.normal(k2) * p.outlier_std
     true_range = jnp.linalg.norm(req_pos - res_pos)
     noisy_range = true_range + jax.random.normal(k3) * p.noise_std
     meas_range = jnp.where(is_outlier, outlier_range, noisy_range)
 
-    complete = due & s.pending & have_both
+    # out-of-range radios never hear each other: the transaction times out
+    # silently (no broadcast), so downstream timeout panics can fire
+    in_range = true_range <= p.max_range
+    # in-range transactions can still be reported failed (NLOS, interference)
+    failed = jax.random.uniform(k4) < p.failure_prob
+
+    complete = due & s.pending & have_both & in_range
     finish = due & s.pending  # transaction cleared even if a party vanished
     latch = due & ~s.pending  # latch attempt (resets the period timer)
 
     meas = UwbMeasurement(
         valid=complete,
-        range=jnp.where(complete, meas_range, 0.0).astype(jnp.float32),
+        range=jnp.where(complete & ~failed, meas_range, 0.0).astype(jnp.float32),
         responder_id=jnp.where(complete, s.responder_id, 0).astype(jnp.int32),
         requester_id=jnp.where(complete, s.requester_id, 0).astype(jnp.int32),
-        failure=jnp.bool_(False),
+        failure=complete & failed,
     )
 
     # NB: completing a transaction does NOT reset the period timer in the

@@ -120,3 +120,84 @@ def test_uwb_fleet_shared_network():
     counts = np.asarray(final.envs.logic.uwb_meas_count)
     assert np.all(counts > 100), counts
     assert np.all(np.asarray(final.envs.logic.kf.uwb_init))
+
+
+def test_message_mirrors_complete():
+    """All 16 AIFS_ROS .msg types have dataclass mirrors (BASELINE.json
+    names the schema as the external interface to preserve)."""
+    from agrifly_tpu.io import messages as msgs
+
+    mirrors = {
+        "radio_command": msgs.RadioCommand,
+        "telemetry": msgs.Telemetry,
+        "mocap_output": msgs.MocapOutput,
+        "gps_output": msgs.GpsOutput,
+        "imu_output": msgs.ImuOutput,
+        "simulator_truth": msgs.SimulatorTruth,
+        "estimator_output": msgs.EstimatorOutput,
+        "joystick_values": msgs.JoystickValues,
+        "planner_diagnostics": msgs.PlannerDiagnostics,
+        "planner_input": msgs.PlannerInput,
+        "planner_output": msgs.PlannerOutput,
+        "planner_statistics": msgs.PlannerStatistics,
+        "polynomial_trajectory": msgs.PolynomialTrajectory,
+        "controller_diagnostics": msgs.ControllerDiagnostics,
+        "controller_input": msgs.ControllerInput,
+        "controller_output": msgs.ControllerOutput,
+    }
+    assert len(mirrors) == 16
+    # diagnostics compose input + output exactly like the .msg files
+    import dataclasses
+
+    pd = {f.name for f in dataclasses.fields(msgs.PlannerDiagnostics)}
+    assert pd == {"header", "input", "output"}
+    cd = {f.name for f in dataclasses.fields(msgs.ControllerDiagnostics)}
+    assert cd == {"header", "input", "output"}
+    pi = {f.name for f in dataclasses.fields(msgs.PlannerInput)}
+    assert pi == {"random_seed", "velocity_D", "acceleration_D", "gravity_D", "goal_W"}
+    po = {f.name for f in dataclasses.fields(msgs.PlannerOutput)}
+    assert po == {"trajectory_id", "planner_statistics",
+                  "trajectory_parameters_D", "trajectory_reset_time",
+                  "trajectory_transform"}
+    co = {f.name for f in dataclasses.fields(msgs.ControllerOutput)}
+    assert co == {"attitude_command_W", "angular_velocity_command_B",
+                  "thrust_command_B", "thrust_adapt_coefficient"}
+
+
+def test_orchard_bridge_diagnostics_and_recorder(tmp_path):
+    """planner/controller diagnostics are published once per frame (the
+    reference publishes planner diagnostics per depth image,
+    ExampleVehicleStateMachine.cpp:259-307) and the bus-wide recorder
+    captures everything (rosbag record -a parity)."""
+    import json
+
+    from agrifly_tpu.io import bridge
+    from agrifly_tpu.sim import orchard_env
+
+    params = orchard_env.make_params(
+        goal_world=(60.0, 0.0, 2.0), takeoff_height=2.0,
+        start_flight_time=1.0, steps_per_frame=16, n_candidates=48,
+        pyramid_capacity=8, use_pallas=False, width=160, height=120,
+    )
+    bus = bridge.TopicBus()
+    path = tmp_path / "bag.jsonl"
+    rec = bridge.MessageRecorder(bus, str(path))
+    ob = bridge.OrchardBridge(params, vehicle_id=3, bus=bus)
+    n_frames = 31  # ~1 s of sim time at 31.25 Hz frames
+    ob.fly_frames(n_frames)
+
+    # image-rate band: one diagnostics pair per frame
+    assert bus.counts["planner_diagnostics3"] == n_frames
+    assert bus.counts["controller_diagnostics3"] == n_frames
+    assert bus.counts["simulator_truth3"] == n_frames
+    assert rec.count == 3 * n_frames
+    rec.close()
+
+    lines = [json.loads(l) for l in open(path)]
+    assert len(lines) == 3 * n_frames
+    pds = [l["msg"] for l in lines if l["topic"] == "planner_diagnostics3"]
+    assert pds[-1]["output"]["planner_statistics"]["NumTrajectoriesGenerated"] == 48
+    assert len(pds[-1]["output"]["trajectory_transform"]["rotation"]) == 4
+    cds = [l["msg"] for l in lines if l["topic"] == "controller_diagnostics3"]
+    assert "thrust_command_B" in cds[-1]["output"]
+    assert "position_estimate_W" in cds[-1]["input"]

@@ -83,3 +83,39 @@ def test_does_not_hit_trees(flight):
                 if d < float(f["trunk_r"]) and p[2] < float(f["trunk_h"]):
                     bad += 1
     assert bad == 0
+
+
+def test_waypoint_file_mission_lands(tmp_path):
+    """trajectory.txt mission parity (agrifly.launch traj_file,
+    ExampleVehicleStateMachine.cpp:450-465,702-730): fly a 3-waypoint file
+    through the orchard with 1 m switching, then descend and idle."""
+    from agrifly_tpu.sim import mission
+
+    f = tmp_path / "traj.txt"
+    f.write_text("# demo waypoints\n8.0,0.0,2.0\n12.0,0.0,2.0\n\n16.0,0.0,2.0\n")
+    wps = mission.load_trajectory_file(str(f))
+    assert wps == [(8.0, 0.0, 2.0), (12.0, 0.0, 2.0), (16.0, 0.0, 2.0)]
+
+    params = orchard_env.make_params(
+        waypoints=wps, land=True,
+        takeoff_height=2.0, start_flight_time=3.0, steps_per_frame=16,
+        n_candidates=64, pyramid_capacity=16, planner_rounds=2,
+        use_pallas=False, width=160, height=120, seed=0, noise_scale=1.0,
+    )
+    state = orchard_env.init_state(params, jax.random.PRNGKey(0))
+    fly = jax.jit(lambda s: orchard_env.fly(params, s, 155))
+    # ~5 s blocks so the test can stop as soon as the mission completes
+    for _ in range(5):  # up to ~25 s sim
+        state, outs = fly(state)
+        if int(state.mstage) == orchard_env.MSTAGE_COMPLETE:
+            break
+        assert int(state.base.logic.panic_reason) == onboard.PANIC_NO_PANIC
+
+    assert int(state.waypoint_idx) == 2  # reached the last waypoint
+    assert int(state.mstage) == orchard_env.MSTAGE_COMPLETE
+    pos = np.asarray(state.base.plant.pos)
+    assert pos[2] < 0.3, pos  # on the ground
+    assert abs(pos[0] - 16.0) < 2.5, pos  # landed near the last waypoint
+    assert int(state.base.logic.panic_reason) == onboard.PANIC_NO_PANIC
+    # idle command shuts the motors off (FS_IDLE)
+    assert int(state.base.logic.fs) == onboard.FS_IDLE

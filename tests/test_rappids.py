@@ -189,3 +189,39 @@ def test_downsampled_inflation_conservative(params):
     fp, fo = np.asarray(free_planner), np.asarray(free_oracle)
     assert (fp & ~fo).sum() == 0
     assert fp.sum() > 0  # still useful
+
+
+def test_lazy_rounds_cut_false_collisions(params):
+    """On-demand inflation (DepthImagePlanner.cpp:270-273 parity): at equal
+    pyramid budget, lazy rounds seeded from uncovered deepest points must
+    reduce candidates mislabeled in-collision, and stay conservative."""
+    img = np.full((H, W), 230, np.int32)
+    for x, w, d in [(40, 8, 50), (90, 10, 70), (130, 6, 45)]:
+        img[:, x:x + w] = d
+    img = jnp.asarray(img)
+    goal = jnp.array([0.0, 0.0, 20.0], jnp.float32)
+    key = jax.random.PRNGKey(0)
+    z3 = jnp.zeros(3)
+
+    inc0, cor0, free0 = rappids.measure_plan_conservativeness(
+        params, img, key, z3, z3, GRAV, goal, n_candidates=256,
+        pyramid_capacity=16, rounds=2, lazy_rounds=0)
+    inc1, cor1, free1 = rappids.measure_plan_conservativeness(
+        params, img, key, z3, z3, GRAV, goal, n_candidates=256,
+        pyramid_capacity=16, rounds=2, lazy_rounds=1)
+    assert int(inc1) < int(inc0), (int(inc0), int(inc1))
+    assert int(free1) > int(free0)
+    # correctly-labeled collisions must not degrade (conservativeness):
+    # lazy rounds only ever free candidates the pyramid logic proves free
+    assert int(cor1) == int(cor0)
+
+    # and plan() with lazy rounds stays conservative vs the oracle: every
+    # candidate it frees is oracle-free
+    tr, cost, feas, vel_ok, gate, cfree, pyrs = rappids._plan_core(
+        params, img, key, z3, z3, GRAV, goal, 256, 16, 2, 1, None, 1)
+    free_oracle = jax.vmap(
+        lambda i: oracle.is_collision_free_ground_truth(
+            params, img, jax.tree_util.tree_map(lambda x: x[i], tr))
+    )(jnp.arange(256))
+    false_free = np.asarray(gate & cfree) & ~np.asarray(free_oracle)
+    assert false_free.sum() == 0, np.where(false_free)[0]

@@ -219,3 +219,30 @@ def test_poly_coeffs_roundtrip():
         a = np.asarray(poly.position(coeffs, jnp.full(4, t)))
         b = np.asarray(traj.position(tr, jnp.full(4, t)))
         assert np.allclose(a, b, atol=1e-4)
+
+
+def test_velocity_feasibility_degenerate_axis_flag():
+    """strict_degenerate=True rejects alpha~0 axes (reference's
+    unimplemented branch, RapidTrajectoryGenerator.cpp:163-208);
+    False evaluates them correctly via quadratic acceleration roots."""
+    # constant-jerk straight line: goal with only final velocity set makes
+    # some axes' alpha exactly 0 -> build directly with alpha = 0
+    tr = traj.Traj(
+        alpha=jnp.zeros((1, 3)),
+        beta=jnp.zeros((1, 3)),
+        gamma=jnp.zeros((1, 3)),
+        a0=jnp.asarray([[0.0, 0.0, 0.5]]),   # gentle constant accel in z
+        v0=jnp.asarray([[1.0, 0.0, 0.0]]),
+        p0=jnp.zeros((1, 3)),
+        tf=jnp.asarray([2.0]),
+        cost=jnp.zeros((1,)),
+    )
+    # velocities stay below 5 m/s: v_x = 1, v_z <= 1
+    strict = traj.check_velocity_feasibility(tr, 5.0)
+    relaxed = traj.check_velocity_feasibility(tr, 5.0, strict_degenerate=False)
+    assert not bool(strict[0])   # bug-compatible rejection
+    assert bool(relaxed[0])      # correct evaluation accepts
+
+    # and the relaxed check still rejects genuinely infeasible motion
+    tr_fast = tr._replace(v0=jnp.asarray([[6.0, 0.0, 0.0]]))
+    assert not bool(traj.check_velocity_feasibility(tr_fast, 5.0, strict_degenerate=False)[0])
