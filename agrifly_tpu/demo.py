@@ -42,6 +42,11 @@ def main(argv=None):
                          "the last waypoint")
     ap.add_argument("--land", action="store_true",
                     help="descend and idle after the last waypoint")
+    ap.add_argument("--scene-file", type=str, default=None,
+                    help="explicit world geometry: .obj (Helios-export "
+                         "triangles) or a primitives text file "
+                         "(render/meshscene.py); default = procedural "
+                         "hashed orchard")
     args = ap.parse_args(argv)
 
     if args.cpu:
@@ -66,6 +71,16 @@ def main(argv=None):
 
         waypoints = mission.load_trajectory_file(args.traj_file)
         print(f"loaded {len(waypoints)} waypoints from {args.traj_file}")
+    mesh_scene = None
+    if args.scene_file:
+        from agrifly_tpu.render import meshscene
+
+        if args.scene_file.endswith(".obj"):
+            mesh_scene = meshscene.load_obj(args.scene_file)
+        else:
+            mesh_scene = meshscene.load_primitives(args.scene_file)
+        print(f"loaded explicit scene: {mesh_scene.count} primitives "
+              f"from {args.scene_file}")
     params = orchard_env.make_params(
         goal_world=tuple(args.goal),
         width=w, height=h,
@@ -74,6 +89,7 @@ def main(argv=None):
         use_pallas=on_tpu,
         waypoints=waypoints,
         land=args.land or args.traj_file is not None,
+        mesh_scene=mesh_scene,
     )
     state = orchard_env.init_state(params, jax.random.PRNGKey(args.seed))
 

@@ -1,0 +1,185 @@
+"""Pallas TPU kernel for the explicit-scene depth raycaster.
+
+Same two-phase design as render/meshscene.py (select_window -> intersect
+every ray with every window row), with the per-row loop inside the kernel:
+the window rides the scalar-prefetch path (SMEM), each grid step renders a
+(TILE_H, W) strip, and `lax.switch` on the row's primitive type executes
+only the taken intersection branch (the jnp path must compute all three
+and select). HBM traffic is the output codes only — the jnp scan instead
+round-trips the (H, W) running minimum per primitive row.
+
+Equivalence with meshscene.render_depth_window is exact (same formulas,
+same order) and tested in interpret mode + on device.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from agrifly_tpu.ops import rotation as rot
+from agrifly_tpu.render.meshscene import (MeshScene, ROW_WIDTH, select_window,
+                                          slant_factor)
+from agrifly_tpu.render.raycast import BIG, RenderConfig, camera_attitude
+
+TILE_H = 16
+
+
+def _kernel(scalars_ref, window_ref, out_ref, *, cfg: RenderConfig, capacity: int):
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+
+    cx = scalars_ref[b, 0]
+    cy = scalars_ref[b, 1]
+    cz = scalars_ref[b, 2]
+    R = [[scalars_ref[b, 3 + 3 * i + j] for j in range(3)] for i in range(3)]
+
+    y0 = t * TILE_H
+    ex = (jax.lax.broadcasted_iota(jnp.int32, (TILE_H, cfg.width), 1)
+          .astype(jnp.float32) - cfg.width / 2.0) / cfg.focal
+    ey = (jax.lax.broadcasted_iota(jnp.int32, (TILE_H, cfg.width), 0)
+          .astype(jnp.float32) + jnp.float32(y0) - cfg.height / 2.0) / cfg.focal
+
+    dx = R[0][0] * ex + R[0][1] * ey + R[0][2]
+    dy = R[1][0] * ex + R[1][1] * ey + R[1][2]
+    dz = R[2][0] * ex + R[2][1] * ey + R[2][2]
+
+    # ground plane z = 0
+    t_ground = -cz / jnp.where(jnp.abs(dz) < 1e-9, 1e-9, dz)
+    best0 = jnp.where((t_ground > 0) & (dz != 0), t_ground, jnp.float32(BIG))
+
+    def sphere_hit(p):
+        ox, oy, oz = cx - p[0], cy - p[1], cz - p[2]
+        a = dx * dx + dy * dy + dz * dz
+        bq = 2.0 * (ox * dx + oy * dy + oz * dz)
+        cc = ox * ox + oy * oy + oz * oz - p[3] * p[3]
+        disc = bq * bq - 4.0 * a * cc
+        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+        t0 = (-bq - sq) / (2.0 * a)
+        t1 = (-bq + sq) / (2.0 * a)
+        ts = jnp.where(t0 > 0, t0, t1)
+        return jnp.where((disc >= 0) & (ts > 0), ts, BIG)
+
+    def cyl_hit(p):
+        ox, oy = cx - p[0], cy - p[1]
+        ca = dx * dx + dy * dy
+        cb = 2.0 * (ox * dx + oy * dy)
+        cc = ox * ox + oy * oy - p[4] * p[4]
+        disc = cb * cb - 4.0 * ca * cc
+        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+        ca_safe = jnp.where(ca > 1e-12, ca, 1.0)
+        t0 = (-cb - sq) / (2.0 * ca_safe)
+        t1 = (-cb + sq) / (2.0 * ca_safe)
+        tc = jnp.where(t0 > 0, t0, t1)
+        z = cz + tc * dz
+        ok = (disc >= 0) & (ca > 1e-12) & (tc > 0) & (z >= p[2]) & (z <= p[3])
+        return jnp.where(ok, tc, BIG)
+
+    def tri_hit(p):
+        # Moller-Trumbore with v0 = p[0:3], e1 = p[3:6], e2 = p[6:9]
+        e1x, e1y, e1z = p[3], p[4], p[5]
+        e2x, e2y, e2z = p[6], p[7], p[8]
+        pvx = dy * e2z - dz * e2y
+        pvy = dz * e2x - dx * e2z
+        pvz = dx * e2y - dy * e2x
+        det = pvx * e1x + pvy * e1y + pvz * e1z
+        inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-12, 1.0, det)
+        tvx, tvy, tvz = cx - p[0], cy - p[1], cz - p[2]
+        u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
+        qvx = tvy * e1z - tvz * e1y
+        qvy = tvz * e1x - tvx * e1z
+        qvz = tvx * e1y - tvy * e1x
+        v = (qvx * dx + qvy * dy + qvz * dz) * inv_det
+        tt = (qvx * e2x + qvy * e2y + qvz * e2z) * inv_det
+        ok = (jnp.abs(det) >= 1e-12) & (u >= 0) & (v >= 0) & (u + v <= 1) & (tt > 0)
+        return jnp.where(ok, tt, BIG)
+
+    def body(i, best):
+        kind = window_ref[i, 0].astype(jnp.int32)
+        p = [window_ref[i, 1 + k] for k in range(9)]
+        tt = jax.lax.switch(
+            jnp.clip(kind, 0, 3),
+            [lambda p: jnp.full((TILE_H, cfg.width), BIG, jnp.float32),
+             sphere_hit, cyl_hit, tri_hit],
+            p,
+        )
+        return jnp.minimum(best, tt)
+
+    best = jax.lax.fori_loop(0, capacity, body, best0)
+
+    scale = cfg.far / 256.0
+    code = jnp.floor(best / scale).astype(jnp.int32)
+    out_ref[0] = jnp.clip(code, 0, 255)
+
+
+def render_depth_window_batch(cfg: RenderConfig, windows, cam_pos, cam_att,
+                              interpret=False):
+    """Render a batch: windows (B, capacity, ROW_WIDTH), cam_pos (B, 3),
+    cam_att (B, 4). Returns (B, H, W) int32 codes."""
+    B = cam_pos.shape[0]
+    capacity = windows.shape[1]
+    assert cfg.height % TILE_H == 0
+    assert windows.shape[2] == ROW_WIDTH
+
+    Rm = rot.to_matrix(cam_att).reshape(B, 9)
+    scalars = jnp.concatenate(
+        [cam_pos.astype(jnp.float32), Rm.astype(jnp.float32)], axis=1
+    )
+    # one shared window table per batch entry, flattened through SMEM
+    win_flat = windows.reshape(B, capacity * ROW_WIDTH)
+
+    grid = (B, cfg.height // TILE_H)
+    kernel = functools.partial(_kernel, cfg=cfg, capacity=capacity)
+
+    def kernel_wrap(scalars_ref, win_ref, out_ref):
+        b = pl.program_id(0)
+
+        class RowView:
+            def __getitem__(self, idx):
+                i, j = idx
+                return win_ref[b, i * ROW_WIDTH + j]
+
+        _kernel_inner(scalars_ref, RowView(), out_ref)
+
+    # simpler: close over a reshaped SMEM view via helper
+    def _kernel_inner(scalars_ref, window_view, out_ref):
+        return kernel(scalars_ref, window_view, out_ref)
+
+    return pl.pallas_call(
+        kernel_wrap,
+        out_shape=jax.ShapeDtypeStruct((B, cfg.height, cfg.width), jnp.int32),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=grid,
+            in_specs=[],
+            out_specs=pl.BlockSpec(
+                (1, TILE_H, cfg.width),
+                lambda b, t, s1, s2: (b, t, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ),
+        interpret=interpret,
+    )(scalars, win_flat)
+
+
+def render_depth_batch(cfg: RenderConfig, scene: MeshScene, cam_pos, cam_att,
+                       window_capacity: int = 192, interpret=False):
+    """select_window per pose + the kernel. cam_pos (B,3), cam_att (B,4)."""
+    reach = cfg.far * slant_factor(cfg)
+    windows = jax.vmap(
+        lambda p: select_window(scene, p, reach, window_capacity)
+    )(cam_pos)
+    return render_depth_window_batch(cfg, windows, cam_pos, cam_att,
+                                     interpret=interpret)
+
+
+def render_depth_body_batch(cfg: RenderConfig, scene: MeshScene, body_pos,
+                            body_att, window_capacity: int = 192,
+                            interpret=False):
+    cam_att = jax.vmap(camera_attitude)(body_att)
+    return render_depth_batch(cfg, scene, body_pos, cam_att,
+                              window_capacity, interpret=interpret)

@@ -58,6 +58,8 @@ class OrchardEnvParams(NamedTuple):
     use_pallas: bool  # static
     track_lookahead: jnp.ndarray  # 0.04 s (main.cpp:571)
     land: bool  # static: descend + settle after the last waypoint
+    mesh: object = None  # Optional[meshscene.MeshScene]: explicit imported
+    # world (Helios-export etc.); None = procedural hashed orchard
 
 
 class PlannedTraj(NamedTuple):
@@ -119,12 +121,15 @@ def make_params(
     noise_scale=1.0,
     waypoints=None,
     land=False,
+    mesh_scene=None,
 ) -> OrchardEnvParams:
     """waypoints: optional sequence of (x, y, z) goals flown in order with
     the reference's 1 m switching radius (trajectory.txt missions,
     ExampleVehicleStateMachine.cpp:450-465,702-730); defaults to the single
     `goal_world`. land=True descends at 0.5 m/s after the last waypoint and
-    idles the motors on touchdown."""
+    idles the motors on touchdown. mesh_scene: an explicit imported world
+    (render/meshscene.py — Helios-export OBJ, primitive files, or a baked
+    orchard) rendered instead of the procedural hashed orchard."""
     base = env_mod.make_params(noise_scale=noise_scale)
     scene = orch.make_params(seed=seed)
     cfg = raycast.make_config(width, height, far=10.0, dda_steps=8)
@@ -164,6 +169,7 @@ def make_params(
         use_pallas=bool(use_pallas),
         track_lookahead=jnp.float32(0.04),
         land=bool(land),
+        mesh=mesh_scene,
     )
 
 
@@ -321,7 +327,19 @@ def frame_step(params: OrchardEnvParams, s: OrchardEnvState):
     # 1. render a depth frame from the *true* pose (the renderer plays
     # Unity's role; the reference pushes the true kinematics to Unity)
     cam_att = raycast.camera_attitude(base.plant.att)
-    if params.use_pallas:
+    if params.mesh is not None:
+        from agrifly_tpu.render import meshscene, pallas_meshscene
+
+        if params.use_pallas:
+            depth = pallas_meshscene.render_depth_batch(
+                params.render_cfg, params.mesh, base.plant.pos[None],
+                cam_att[None],
+            )[0]
+        else:
+            depth = meshscene.render_depth(
+                params.render_cfg, params.mesh, base.plant.pos, cam_att
+            )
+    elif params.use_pallas:
         depth = pallas_raycast.render_depth_batch(
             params.render_cfg, params.scene, base.plant.pos[None], cam_att[None]
         )[0]
