@@ -236,6 +236,17 @@ class ControllerDiagnostics:
     output: ControllerOutput = field(default_factory=ControllerOutput)
 
 
+@dataclass
+class PoseEulerStamped:
+    """hiperlab_hardware/msg/PoseEulerStamped.msg: orientation in
+    quaternion and euler form with frame + timestamp."""
+
+    header: Header = field(default_factory=Header)
+    eulerRPY: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    position: Tuple[float, float, float] = (0.0, 0.0, 0.0)  # pose.position
+    orientation: Tuple[float, float, float, float] = (1.0, 0.0, 0.0, 0.0)  # pose.orientation
+
+
 def to_dict(msg):
     """Recursively convert a message to plain python (JSON-able)."""
     return dataclasses.asdict(msg)

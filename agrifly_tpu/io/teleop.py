@@ -86,6 +86,102 @@ class KeyboardJoystick:
         return msg
 
 
+# Linux joystick API (linux/joystick.h): struct js_event is
+# { u32 time_ms; s16 value; u8 type; u8 number } — 8 bytes little-endian.
+JS_EVENT_BUTTON = 0x01
+JS_EVENT_AXIS = 0x02
+JS_EVENT_INIT = 0x80
+_JS_EVENT_FMT = "<IhBB"
+_JS_EVENT_SIZE = 8
+
+# Xbox-360 mapping identified with joystick_identification
+# (joystickmain.cpp:28-42)
+XBOX_AXIS_THRUST = 1
+XBOX_AXIS_YAW = 0
+XBOX_AXIS_PITCH = 4
+XBOX_AXIS_ROLL = 3
+XBOX_SIGNS = {XBOX_AXIS_THRUST: -1.0, XBOX_AXIS_YAW: +1.0,
+              XBOX_AXIS_PITCH: -1.0, XBOX_AXIS_ROLL: +1.0}
+XBOX_BUTTONS = {7: "buttonStart", 1: "buttonRed", 3: "buttonYellow",
+                0: "buttonGreen", 2: "buttonBlue"}
+
+
+class LinuxJoystick:
+    """/dev/input/jsN reader (joystickmain.cpp parity): non-blocking
+    js_event stream decoded with the Xbox-360 axis map, axes normalized to
+    [-1, 1], published as joystick_values axes (thrust, yaw, pitch, roll).
+
+    `stream` overrides the device for tests (any object with .read());
+    otherwise devices js0..js99 are probed like the reference."""
+
+    def __init__(self, stream=None, device=None):
+        self._owns_fd = False
+        if stream is not None:
+            self._read = stream.read
+        else:
+            import os
+
+            fd = None
+            paths = [device] if device else [f"/dev/input/js{i}" for i in range(100)]
+            for path in paths:
+                try:
+                    fd = os.open(path, os.O_RDONLY | os.O_NONBLOCK)
+                    break
+                except OSError:
+                    continue
+            if fd is None:
+                raise OSError("no joystick device found (tried /dev/input/js0..99)")
+            self._fd = fd
+            self._owns_fd = True
+            self._read = lambda n: self._read_fd(n)
+        self._axes = {}
+        self._buttons = {}
+
+    def _read_fd(self, n):
+        import os
+
+        try:
+            return os.read(self._fd, n)
+        except BlockingIOError:
+            return b""
+
+    def close(self):
+        if self._owns_fd:
+            import os
+
+            os.close(self._fd)
+            self._owns_fd = False
+
+    def _drain(self):
+        import struct
+
+        while True:
+            buf = self._read(_JS_EVENT_SIZE)
+            if not buf or len(buf) < _JS_EVENT_SIZE:
+                break
+            _, value, etype, number = struct.unpack(_JS_EVENT_FMT, buf)
+            kind = etype & ~JS_EVENT_INIT
+            if kind == JS_EVENT_AXIS:
+                self._axes[number] = value
+            elif kind == JS_EVENT_BUTTON:
+                self._buttons[number] = value
+
+    def poll(self, t: float) -> msgs.JoystickValues:
+        self._drain()
+
+        def axis(n):
+            return self._axes.get(n, 0) / float(1 << 15) * XBOX_SIGNS[n]
+
+        msg = msgs.JoystickValues(
+            header=msgs.Header(stamp=t),
+            axes=(axis(XBOX_AXIS_THRUST), axis(XBOX_AXIS_YAW),
+                  axis(XBOX_AXIS_PITCH), axis(XBOX_AXIS_ROLL)),
+        )
+        for number, attr in XBOX_BUTTONS.items():
+            setattr(msg, attr, int(bool(self._buttons.get(number, 0))))
+        return msg
+
+
 def publish_loop(bus, joystick, duration_s, dt=1.0 / RATE_HZ, topic="joystick_values"):
     """Pump joystick_values onto a TopicBus at 100 Hz of *sim* time."""
     t = 0.0

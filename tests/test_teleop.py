@@ -34,3 +34,52 @@ def test_publish_loop_rate():
     teleop.publish_loop(bus, js, duration_s=1.0)
     assert len(got) == 100
     assert any(m.buttonStart for m in got)
+
+
+def test_linux_joystick_event_decoding():
+    """LinuxJoystick decodes the Linux js_event stream with the Xbox-360
+    mapping (joystickmain.cpp:28-42,65-85): axes normalized to [-1,1] with
+    the reference signs, buttons by number."""
+    import io as _io
+    import struct
+
+    from agrifly_tpu.io import teleop
+
+    def ev(etype, number, value):
+        return struct.pack("<IhBB", 0, value, etype, number)
+
+    stream = _io.BytesIO(
+        ev(teleop.JS_EVENT_AXIS | teleop.JS_EVENT_INIT, teleop.XBOX_AXIS_THRUST, 0)
+        + ev(teleop.JS_EVENT_AXIS, teleop.XBOX_AXIS_THRUST, -(1 << 14))  # half up
+        + ev(teleop.JS_EVENT_AXIS, teleop.XBOX_AXIS_YAW, 1 << 14)
+        + ev(teleop.JS_EVENT_AXIS, teleop.XBOX_AXIS_PITCH, -(1 << 15) + 1)
+        + ev(teleop.JS_EVENT_BUTTON, 7, 1)  # start
+        + ev(teleop.JS_EVENT_BUTTON, 1, 1)  # red
+    )
+    js = teleop.LinuxJoystick(stream=stream)
+    msg = js.poll(0.1)
+    thrust, yaw, pitch, roll = msg.axes
+    assert abs(thrust - 0.5) < 1e-6      # sign_thrust = -1
+    assert abs(yaw - 0.5) < 1e-6         # sign_yaw = +1
+    assert pitch > 0.999                 # sign_pitch = -1
+    assert roll == 0.0
+    assert msg.buttonStart == 1 and msg.buttonRed == 1
+    assert msg.buttonGreen == 0
+
+    # button release arrives later
+    stream2 = _io.BytesIO(ev(teleop.JS_EVENT_BUTTON, 7, 0))
+    js._read = stream2.read
+    msg2 = js.poll(0.2)
+    assert msg2.buttonStart == 0
+    assert abs(msg2.axes[0] - 0.5) < 1e-6  # axes latch between events
+
+
+def test_linux_joystick_no_device():
+    from agrifly_tpu.io import teleop
+
+    try:
+        js = teleop.LinuxJoystick(device="/nonexistent/js99")
+    except OSError as e:
+        assert "joystick" in str(e)
+    else:
+        js.close()  # a real device existed; fine
