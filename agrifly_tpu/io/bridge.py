@@ -35,6 +35,7 @@ RATE_GPS = 100
 RATE_IMU = 500
 RATE_TELEMETRY = 100
 RATE_ESTIMATOR = 100
+RATE_ODOMETRY = 250
 
 
 class TopicBus:
@@ -78,7 +79,9 @@ class SimBridge:
             lambda s, c: env_mod.step(params, s, c, use_estimator)
         )
         self._pending_radio: collections.deque = collections.deque()
-        self._accum = {k: 0 for k in ("mocap", "gps", "telemetry", "estimator")}
+        self._accum = {k: 0 for k in
+                       ("mocap", "gps", "telemetry", "estimator", "odometry")}
+        self._init_pos = np.asarray(self.state.plant.pos, np.float64)
         self.t_us = 0
         self.bus.subscribe(f"radio_command{self.vehicle_id}", self._on_radio)
 
@@ -165,6 +168,23 @@ class SimBridge:
                 msgs.GpsOutput(
                     header=msgs.Header(stamp=t), vehicleID=vid,
                     posx=pos[0], posy=pos[1], posz=pos[2],
+                ),
+            )
+        if fires("odometry", RATE_ODOMETRY):
+            # T265-style odometry (Simulator/main.cpp:358-394): pose is
+            # relative to the initial position; twist is body-frame.
+            vel_b = np.asarray(
+                rot_ops.rotate_back(jnp.asarray(att), jnp.asarray(vel)),
+                np.float64)
+            self.bus.publish(
+                "/camera/t265/odom/sample",
+                msgs.Odometry(
+                    header=msgs.Header(stamp=t, frame_id="odom"),
+                    child_frame_id="base_link",
+                    position=tuple(pos - self._init_pos),
+                    orientation=(att[0], att[1], att[2], att[3]),
+                    linear_B=tuple(vel_b),
+                    angular_B=(angvel[0], angvel[1], angvel[2]),
                 ),
             )
         if fires("telemetry", RATE_TELEMETRY):

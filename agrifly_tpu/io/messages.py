@@ -247,6 +247,25 @@ class PoseEulerStamped:
     orientation: Tuple[float, float, float, float] = (1.0, 0.0, 0.0, 0.0)  # pose.orientation
 
 
+@dataclass
+class Odometry:
+    """nav_msgs/Odometry mirror (T265-style camera odometry).
+
+    The reference simulator node publishes this on
+    /camera/t265/odom/sample at 250 Hz (Simulator/main.cpp:201-204,
+    358-394): pose = position relative to the initial position in the
+    'odom' frame + attitude quaternion; twist = velocity and angular
+    velocity expressed in the body ('base_link') frame.
+    """
+
+    header: Header = field(default_factory=Header)
+    child_frame_id: str = "base_link"
+    position: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    orientation: Tuple[float, float, float, float] = (1.0, 0.0, 0.0, 0.0)  # w,x,y,z
+    linear_B: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    angular_B: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+
+
 def to_dict(msg):
     """Recursively convert a message to plain python (JSON-able)."""
     return dataclasses.asdict(msg)

@@ -57,7 +57,8 @@ def test_bridge_topic_rates_and_content():
         return cb
 
     for topic in ("simulator_truth1", "mocap_output1", "gps_output1",
-                  "imu_output1", "telemetry1", "estimator1"):
+                  "imu_output1", "telemetry1", "estimator1",
+                  "/camera/t265/odom/sample"):
         bus.subscribe(topic, make_cb(topic))
 
     b = bridge.SimBridge(params, vehicle_id=1, bus=bus)
@@ -71,6 +72,14 @@ def test_bridge_topic_rates_and_content():
     assert 95 <= len(received["gps_output1"]) <= 105
     assert 50 <= len(received["telemetry1"]) <= 170
     assert 95 <= len(received["estimator1"]) <= 105
+    # T265-style odometry at 250 Hz (Simulator/main.cpp:227,358-394)
+    odom = received["/camera/t265/odom/sample"]
+    assert 245 <= len(odom) <= 255
+    # pose is relative to the initial position; twist is body-frame
+    assert odom[0].header.frame_id == "odom"
+    assert odom[0].child_frame_id == "base_link"
+    assert abs(odom[0].position[0]) < 1e-6 and abs(odom[0].position[1]) < 1e-6
+    assert odom[-1].position[2] > 0.0  # climbed relative to start
 
     truth = received["simulator_truth1"][-1]
     assert truth.vehicleID == 1
