@@ -125,3 +125,30 @@ def test_safetynet():
     q_flip = rot.from_axis_angle(jnp.array([1.0, 0.0, 0.0]), jnp.pi)
     s4 = safetynet.update(p, s, jnp.array([0.0, 0.0, 0.5]), q_flip, jnp.int32(1000))
     assert not bool(s4.is_safe) and bool(s4.upside_down_and_low)
+
+
+def test_block_covariance_predict_matches_dense():
+    """cov_predict_block == dense F P F^T + diag(q) for the EKF transition."""
+    from agrifly_tpu.models import ekf
+
+    rng = np.random.default_rng(3)
+    B = 64
+    M = rng.normal(0, 0.3, (B, 9, 9))
+    P = M @ np.swapaxes(M, -1, -2) + np.eye(9)
+    A = rng.normal(0, 0.02, (B, 3, 3))
+    g = rng.normal(0, 0.002, (B, 3))
+    dt = 0.002
+    qv, qa = 25.0 * dt * dt, 0.01 * dt * dt
+
+    out = jax.jit(jax.vmap(lambda p, a, gg: ekf.cov_predict_block(p, dt, a, gg, qv, qa)))(
+        jnp.asarray(P, jnp.float32), jnp.asarray(A, jnp.float32), jnp.asarray(g, jnp.float32)
+    )
+    for i in range(B):
+        skew = np.array([[0, g[i, 2], -g[i, 1]], [-g[i, 2], 0, g[i, 0]], [g[i, 1], -g[i, 0], 0]])
+        F = np.block([
+            [np.eye(3), dt * np.eye(3), np.zeros((3, 3))],
+            [np.zeros((3, 3)), np.eye(3), A[i]],
+            [np.zeros((3, 3)), np.zeros((3, 3)), np.eye(3) + skew],
+        ])
+        ref = F @ P[i] @ F.T + np.diag([0] * 3 + [qv] * 3 + [qa] * 3)
+        np.testing.assert_allclose(np.asarray(out[i]), ref, rtol=2e-4, atol=2e-5)
