@@ -232,8 +232,9 @@ def update_range(s: EkfState, target_pos, meas_range, apply) -> EkfState:
     h = diff / safe_exp  # dR/dpos; zeros for vel/att
 
     H = jnp.concatenate([h, jnp.zeros(6, jnp.float32)])
-    PHt = s.cov @ H
-    innov_cov = H @ PHt + NOISE_STD_RANGE**2
+    # matvec/dot as masked sums (batched tiny dot_generals go bf16 on MXU)
+    PHt = (s.cov * H[None, :]).sum(1)
+    innov_cov = (H * PHt).sum() + NOISE_STD_RANGE**2
     L = PHt / innov_cov
     innov = meas_range - expected
 
@@ -250,7 +251,10 @@ def update_range(s: EkfState, target_pos, meas_range, apply) -> EkfState:
         last_att_corr=att_corr,
         num_rejected_seq=jnp.int32(0),
     )
-    cov_new = (jnp.eye(9, dtype=jnp.float32) - jnp.outer(L, H)) @ s.cov
+    # (I - L H) P = P - outer(L, H P); H P = (P H^T)^T = PHt^T (P symmetric)
+    # — a rank-1 elementwise update, not a 9x9 matmul (which would lower to
+    # a padded bf16 MXU pass under vmap)
+    cov_new = s.cov - L[:, None] * PHt[None, :]
     # symmetrize by copying the lower triangle up (cpp:303-309)
     cov_new = jnp.tril(cov_new) + jnp.tril(cov_new, -1).T
     s_acc = s_acc._replace(cov=cov_new)

@@ -427,11 +427,13 @@ def gps_position_update(s: _ekf.EkfState, meas_pos, apply,
     bad = (jnp.abs(det) < 1e-10) | ~jnp.all(jnp.isfinite(S))
 
     S_safe = jnp.where(bad, jnp.eye(3, dtype=jnp.float32), S)
-    L = P[:, 0:3] @ lin3.inv3(S_safe)  # (9,3)
-    dx = L @ (meas_pos - s.pos)
+    # (9,3)/(3,3)/(3,9) products as broadcast-sums: batched tiny matmuls
+    # lower to padded bf16 MXU dot_generals under vmap
+    L = (P[:, 0:3, None] * lin3.inv3(S_safe)[None, :, :]).sum(1)  # (9,3)
+    dx = (L * (meas_pos - s.pos)[None, :]).sum(1)
     att_corr = dx[6:9]
-    # (I - L H) P with H = [I3 0 0]:
-    cov_new = P - L @ P[0:3, :]
+    # (I - L H) P with H = [I3 0 0] = P minus a rank-3 update:
+    cov_new = P - (L[:, :, None] * P[None, 0:3, :]).sum(1)
     cov_new = 0.5 * (cov_new + cov_new.T)
 
     s_upd = s._replace(
@@ -610,10 +612,10 @@ def gps_update(s: GpsEstState, now_us, meas_pos, dt_advance_us) -> GpsEstState:
     det = lin3.det3(S)
     bad = (jnp.abs(det) < 1e-10) | ~jnp.all(jnp.isfinite(S))
     S_safe = jnp.where(bad, jnp.eye(3, dtype=jnp.float32), S)
-    L = cov[:, 0:3] @ lin3.inv3(S_safe)
-    dx = L @ (meas_pos - pos)
+    L = (cov[:, 0:3, None] * lin3.inv3(S_safe)[None, :, :]).sum(1)
+    dx = (L * (meas_pos - pos)[None, :]).sum(1)
     att_corr = dx[6:9]
-    cov_new = cov - L @ cov[0:3, :]
+    cov_new = cov - (L[:, :, None] * cov[None, 0:3, :]).sum(1)
     cov_new = 0.5 * (cov_new + cov_new.T)
 
     s_upd = s._replace(
