@@ -379,15 +379,22 @@ def logic_step(p: LogicParams, s: LogicState, u: LogicInputs):
     gyro_cal_accum = jnp.where(cal_on, s.gyro_cal_accum + gyro_raw, s.gyro_cal_accum)
     gyro_cal_count = s.gyro_cal_count + cal_on.astype(jnp.int32)
 
-    uwb_success = u.uwb_new & ~u.uwb_failure
-    target_pos, target_known = _lookup_target(p, u.uwb_responder_id)
-    kf = ekf.update_range(kf, target_pos, u.uwb_range, uwb_success & target_known)
-    uwb_meas_count = s.uwb_meas_count + uwb_success.astype(jnp.int32)
-    next_target_idx = jnp.where(
-        u.uwb_new & (p.num_targets > 0),
-        (s.next_target_idx + 1) % jnp.maximum(p.num_targets, 1),
-        s.next_target_idx,
-    )
+    if isinstance(u.uwb_new, bool) and not u.uwb_new:
+        # statically no UWB in this configuration: skip the whole range
+        # update at trace time (with apply=False it is a no-op anyway, but
+        # XLA does not fully fold away its masked covariance work)
+        uwb_meas_count = s.uwb_meas_count
+        next_target_idx = s.next_target_idx
+    else:
+        uwb_success = u.uwb_new & ~u.uwb_failure
+        target_pos, target_known = _lookup_target(p, u.uwb_responder_id)
+        kf = ekf.update_range(kf, target_pos, u.uwb_range, uwb_success & target_known)
+        uwb_meas_count = s.uwb_meas_count + uwb_success.astype(jnp.int32)
+        next_target_idx = jnp.where(
+            u.uwb_new & (p.num_targets > 0),
+            (s.next_target_idx + 1) % jnp.maximum(p.num_targets, 1),
+            s.next_target_idx,
+        )
 
     # --- ParseIncomingCommunications ---
     sticky = (s.fs == FS_PANIC) | (s.fs == FS_KILLED)

@@ -211,6 +211,12 @@ def rollout_fast(params: EnvParams, state: EnvState, cmd: Command,
     if (dt != 2000 or int(params.mocap_period_us) != 5000
             or int(params.offboard_period_us) != 10000):
         return rollout(params, state, cmd, n_steps, use_estimator, ctrl_mode)
+    try:  # catch misuse when the entry step is concrete (outside jit)
+        concrete_step = int(state.step)
+    except (jax.errors.TracerIntegerConversionError, TypeError):
+        concrete_step = None
+    if concrete_step not in (None, 0):
+        return rollout(params, state, cmd, n_steps, use_estimator, ctrl_mode)
 
     PERIOD = 5
     PROLOGUE = 5  # the joint pattern is periodic with period 5 from tick 1
@@ -326,9 +332,11 @@ def physics_tick(s: EnvState, params: EnvParams, ext_force, ext_torque,
     key = a["key"]
     gyro_meas, acc_meas = a["gyro_meas"], a["acc_meas"]
 
-    # 3b. UWB ranging network (when anchors are configured)
+    # 3b. UWB ranging network (when anchors are configured). The default is
+    # a *python* False: logic_step then skips the EKF range update at trace
+    # time (XLA does not fold the masked covariance work away on its own).
     uwb_state = s.uwb
-    uwb_new = jnp.bool_(False)
+    uwb_new = False
     uwb_range = jnp.float32(0.0)
     uwb_responder = jnp.int32(0)
     uwb_failure = jnp.bool_(False)
