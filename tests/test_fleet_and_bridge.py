@@ -210,3 +210,71 @@ def test_orchard_bridge_diagnostics_and_recorder(tmp_path):
     cds = [l["msg"] for l in lines if l["topic"] == "controller_diagnostics3"]
     assert "thrust_command_B" in cds[-1]["output"]
     assert "position_estimate_W" in cds[-1]["input"]
+
+
+def test_ros_adapter_mapping_and_conversion():
+    """io/ros_adapter: the topic table must cover every top-level mirror,
+    and the generic field-copy conversion must round-trip through stub ROS
+    message classes (field names match the .msg schema 1:1)."""
+    import dataclasses
+
+    from agrifly_tpu.io import ros_adapter as ra
+
+    # every publishable mirror class is reachable from some topic name
+    for topic, cls in [
+        ("radio_command3", messages.RadioCommand),
+        ("simulator_truth12", messages.SimulatorTruth),
+        ("mocap_output1", messages.MocapOutput),
+        ("gps_output1", messages.GpsOutput),
+        ("imu_output1", messages.ImuOutput),
+        ("telemetry7", messages.Telemetry),
+        ("estimator1", messages.EstimatorOutput),
+        ("joystick_values", messages.JoystickValues),
+        ("planner_diagnostics1", messages.PlannerDiagnostics),
+        ("controller_diagnostics1", messages.ControllerDiagnostics),
+        ("/camera/t265/odom/sample", messages.Odometry),
+        ("pose_euler1", messages.PoseEulerStamped),
+    ]:
+        hit = ra.lookup(topic)
+        assert hit is not None and hit[0] is cls, topic
+    assert ra.lookup("depthImage") is None  # image topics are not mapped
+
+    # stub "ROS" classes: same field names, plain attributes
+    def make_stub(mirror_cls):
+        class Stub:
+            def __init__(self):
+                for f in dataclasses.fields(mirror_cls):
+                    d = (f.default_factory() if f.default_factory is not dataclasses.MISSING
+                         else f.default)
+                    setattr(self, f.name, make_stub(type(d))() if dataclasses.is_dataclass(d)
+                            else d)
+        return Stub
+
+    # a nested message with non-default values round-trips exactly
+    diag = messages.PlannerDiagnostics(
+        header=messages.Header(stamp=1.25),
+        input=messages.PlannerInput(random_seed=42, goal_W=(1.0, 2.0, 3.0)),
+        output=messages.PlannerOutput(
+            trajectory_id=7,
+            planner_statistics=messages.PlannerStatistics(
+                trajectory_found=True, NumPyramids=5),
+            trajectory_parameters_D=messages.PolynomialTrajectory(
+                coeff0=(0.5, 0.25, 0.125), duration=2.5),
+            trajectory_reset_time=0.75,
+            trajectory_transform=messages.Transform(
+                translation=(4.0, 5.0, 6.0), rotation=(0.0, 1.0, 0.0, 0.0)),
+        ),
+    )
+    stub = ra.copy_to_ros(diag, make_stub(messages.PlannerDiagnostics)())
+    assert stub.output.planner_statistics.NumPyramids == 5
+    back = ra.copy_from_ros(stub, messages.PlannerDiagnostics)
+    assert back == diag
+
+    odom = messages.Odometry(position=(1.0, 2.0, 3.0), linear_B=(0.1, 0.2, 0.3))
+    stub2 = ra.copy_to_ros(odom, make_stub(messages.Odometry)())
+    assert ra.copy_from_ros(stub2, messages.Odometry) == odom
+
+    # without ROS installed the adapter stays importable and inactive
+    bus = bridge.TopicBus()
+    adapter = ra.RosAdapter(bus)
+    assert adapter.active is False
