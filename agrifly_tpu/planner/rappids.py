@@ -828,6 +828,10 @@ def _plan_core(params, depth_u16, key, vel0, acc0, grav, goal_cam,
     feas = traj_mod.check_input_feasibility(
         tr, grav, params.fmin, params.fmax, params.wmax,
         float(params.min_section_time),
+        # sampler durations are U(2,3) s, so dyadic levels whose sections
+        # are provably narrower than min_section_time for tf <= 3 never
+        # need evaluating (identical verdicts, ~75% fewer section checks)
+        static_max_tf=3.0,
     )
     vel_ok = traj_mod.check_velocity_feasibility(tr, params.vmax)
     gate = feas & vel_ok

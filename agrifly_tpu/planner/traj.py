@@ -262,13 +262,20 @@ def _section_verdict(tr: Traj, grav, t1, t2, fmin_allowed, fmax_allowed, wmax_al
 
 def check_input_feasibility(tr: Traj, grav, fmin_allowed=5.0, fmax_allowed=30.0,
                             wmax_allowed=20.0, min_time_section=0.02,
-                            max_depth=9):
+                            max_depth=9, static_max_tf=None):
     """Interval-bisection proof that thrust in [fmin, fmax] and |w| <= wmax.
 
     Returns a boolean (True = InputFeasible). Verdict matches the reference
     recursion: a needed section narrower than min_time_section rejects
     (InputIndeterminable), hard thrust violations reject, and uncertain
     sections recurse into both halves (here: the next dyadic level).
+
+    static_max_tf: optional static upper bound on every tf in the batch
+    (e.g. the candidate sampler's max duration). Once a level's sections
+    are provably narrower than min_time_section for ALL tf <= bound, every
+    still-needed section rejects as InputIndeterminable without evaluating
+    it — identical verdicts, but the deepest (widest) levels, ~75% of the
+    section evaluations for the default sampler, are skipped at trace time.
     """
     grav = jnp.asarray(grav, jnp.float32)
     batch = tr.tf.shape
@@ -277,6 +284,11 @@ def check_input_feasibility(tr: Traj, grav, fmin_allowed=5.0, fmax_allowed=30.0,
     needed = jnp.ones(batch + (1,), bool)  # level 0: one section
     for level in range(max_depth + 1):
         n = 1 << level
+        if static_max_tf is not None and static_max_tf / n < min_time_section:
+            # every section at this level is too narrow regardless of tf:
+            # any still-needed one is InputIndeterminable
+            ok = ok & ~jnp.any(needed, axis=-1)
+            break
         idx = jnp.arange(n, dtype=jnp.float32)
         t1 = tr.tf[..., None] * (idx / n)  # (..., n)
         t2 = tr.tf[..., None] * ((idx + 1.0) / n)

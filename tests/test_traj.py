@@ -151,6 +151,12 @@ def test_input_feasibility_matches_recursive_oracle():
     assert got.sum() > 3  # sanity: some candidates feasible
     assert (~got).sum() > 3  # and some infeasible
 
+    # the static_max_tf shortcut (skip levels whose sections are provably
+    # narrower than min_time_section for all tf <= bound) is verdict-exact
+    fast = np.asarray(traj.check_input_feasibility(
+        tr, GRAV, 5.0, 30.0, 20.0, static_max_tf=3.0))
+    np.testing.assert_array_equal(got, fast)
+
 
 def test_velocity_feasibility_vs_sampling():
     rng = np.random.default_rng(5)
