@@ -99,10 +99,13 @@ def main(argv=None):
     print(f"agrifly_tpu demo: {jax.devices()[0].platform} backend, "
           f"{w}x{h} depth, goal {tuple(args.goal)}")
     t_wall = time.perf_counter()
+    block_walls = []
     blocks = max(1, args.frames // frames_per_block)
     for b in range(blocks):
+        t_blk = time.perf_counter()
         state, outs = fly_block(state)
         jax.block_until_ready(state)
+        block_walls.append(time.perf_counter() - t_blk)
         pos = np.asarray(state.base.plant.pos)
         fs = int(state.base.logic.fs)
         panic = int(state.base.logic.panic_reason)
@@ -122,8 +125,15 @@ def main(argv=None):
             break
     wall = time.perf_counter() - t_wall
     sim_time = int(state.base.step) * 0.002
-    print(f"flew {sim_time:.1f}s of sim time in {wall:.1f}s wall "
-          f"({sim_time / wall:.2f}x realtime incl. compile)")
+    msg = (f"flew {sim_time:.1f}s of sim time in {wall:.1f}s wall "
+           f"({sim_time / wall:.2f}x realtime incl. compile)")
+    if len(block_walls) > 1:
+        # first block carries the jit compile; the rest are steady state
+        steady_wall = sum(block_walls[1:])
+        steady_sim = frames_per_block * params.steps_per_frame * 0.002 * (len(block_walls) - 1)
+        msg += (f"; steady state {steady_sim / steady_wall:.2f}x realtime "
+                f"({steady_wall / (len(block_walls) - 1) / frames_per_block * 1e3:.1f} ms/frame)")
+    print(msg)
 
     if args.csv:
         # re-fly a short segment recording outputs for the CSV

@@ -253,11 +253,16 @@ def _hit_row(row, o, d):
 
 
 def render_depth_window(cfg: RenderConfig, window, cam_pos, cam_att,
-                        unroll: int = 4):
+                        chunk: int = 16):
     """Depth codes from a primitive window (see select_window).
 
     Same output contract as raycast.render_depth: (H, W) int32 codes in
     [0, 255], planar depth, far/256 scale, ground plane at z = 0.
+
+    The scan goes `chunk` primitives per step — the (chunk, H, W) hit
+    block is min-reduced before the (H, W) running minimum touches HBM
+    again (one row per step round-tripped the full image through HBM per
+    primitive, ~16x slower).
     """
     xs = (jnp.arange(cfg.width, dtype=jnp.float32) - cfg.width / 2.0) / cfg.focal
     ys = (jnp.arange(cfg.height, dtype=jnp.float32) - cfg.height / 2.0) / cfg.focal
@@ -271,10 +276,20 @@ def render_depth_window(cfg: RenderConfig, window, cam_pos, cam_att,
     t_ground = -o[..., 2] / jnp.where(jnp.abs(dz) < 1e-9, 1e-9, dz)
     best0 = jnp.where((t_ground > 0) & (dz != 0), t_ground, BIG)
 
-    def body(best, row):
-        return jnp.minimum(best, _hit_row(row, o, d)), None
+    capacity = window.shape[0]
+    chunk = max(1, min(chunk, capacity))
+    pad = (-capacity) % chunk  # zero rows are type NONE -> hit at BIG
+    if pad:
+        window = jnp.concatenate(
+            [window, jnp.zeros((pad, window.shape[1]), window.dtype)], axis=0
+        )
+    chunks = window.reshape(-1, chunk, window.shape[1])
 
-    best, _ = jax.lax.scan(body, best0, window, unroll=unroll)
+    def body(best, rows):
+        hits = jax.vmap(lambda row: _hit_row(row, o, d))(rows)  # (chunk, H, W)
+        return jnp.minimum(best, hits.min(axis=0)), None
+
+    best, _ = jax.lax.scan(body, best0, chunks)
 
     scale = cfg.far / 256.0
     code = jnp.floor(best / scale).astype(jnp.int32)
