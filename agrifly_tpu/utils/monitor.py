@@ -21,6 +21,7 @@ BANDS = {
     "mocap": (195.0, 205.0),
     "cmd": (45.0, 55.0),
     "telemetry": (50.0, 170.0),
+    "joystick": (95.0, 105.0),
 }
 
 # ANSI colors (Common/Common/Misc/TerminalColors.hpp equivalent)
@@ -116,6 +117,33 @@ class VehicleMonitor:
         w, ok = st["warnings"]
         parts.append(colorize(f"warn:{w:#04x}", ok, warn=True))
         return "  ".join(parts)
+
+
+class JoystickMonitor:
+    """The VehicleMonitor node's joystick companion (JoystickMonitor.cpp):
+    tracks the `joystick_values` rate against the 95-105 Hz band and
+    renders 'No joystick!' when nothing has been heard in the window."""
+
+    def __init__(self, bus, use_sim_time=True):
+        self.use_sim_time = use_sim_time
+        self.tracker = RateTracker()
+        self.seen = False
+        bus.subscribe("joystick_values", self._on)
+
+    def _on(self, msg):
+        self.seen = True
+        self.tracker.tick(msg.header.stamp if self.use_sim_time else None)
+
+    def status(self, now=None):
+        r = self.tracker.rate(now)
+        lo, hi = BANDS["joystick"]
+        return r, self.seen and r > 0, lo <= r <= hi
+
+    def render(self, now=None):
+        r, seen, ok = self.status(now)
+        if not seen or r == 0:
+            return colorize("  No joystick!", False)
+        return "  JS @" + colorize(f"{int(0.5 + r):3d}", ok) + "Hz"
 
 
 class FleetMonitor:

@@ -88,3 +88,19 @@ def test_csv_rollout_log(tmp_path):
     assert lines[0].startswith("t,posx,posy,posz")
     assert len(lines) == 101
     assert shape[1] == len(lines[0].split(","))
+
+
+def test_joystick_monitor():
+    """JoystickMonitor.cpp parity: 'No joystick!' until messages arrive,
+    then the 95-105 Hz band judges the rate."""
+    bus = bridge.TopicBus()
+    jm = monitor.JoystickMonitor(bus)
+    assert "No joystick" in jm.render(now=0.0)
+    for k in range(100):
+        bus.publish("joystick_values",
+                    messages.JoystickValues(header=messages.Header(stamp=k / 100.0)))
+    r, seen, ok = jm.status(now=1.0)
+    assert seen and ok and 95 <= r <= 105
+    assert "JS @" in jm.render(now=1.0)
+    # starved again after the window passes
+    assert "No joystick" in jm.render(now=5.0)
