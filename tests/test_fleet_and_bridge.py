@@ -239,6 +239,16 @@ def test_ros_adapter_mapping_and_conversion():
         assert hit is not None and hit[0] is cls, topic
     assert ra.lookup("depthImage") is None  # image topics are not mapped
 
+    # every mirror dataclass is either topic-mapped or nested-only
+    import agrifly_tpu.io.messages as msgs_mod
+
+    mapped = {row[1] for row in ra.TOPIC_TABLE} | set(ra.NESTED_MIRRORS)
+    all_mirrors = {
+        v for v in vars(msgs_mod).values()
+        if isinstance(v, type) and dataclasses.is_dataclass(v)
+    }
+    assert all_mirrors == mapped, all_mirrors.symmetric_difference(mapped)
+
     # stub "ROS" classes: same field names, plain attributes
     def make_stub(mirror_cls):
         class Stub:
