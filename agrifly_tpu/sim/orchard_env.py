@@ -23,7 +23,6 @@ exists yet, hover at 2 m (main.cpp:565-569).
 
 from __future__ import annotations
 
-import math
 from typing import NamedTuple
 
 import jax
