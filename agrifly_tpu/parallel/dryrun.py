@@ -80,6 +80,18 @@ def run_dryrun(n_devices: int, envs_per_device: int = ENVS_PER_DEVICE,
         f"{int(metrics.num_panicked)} envs panicked during hover dryrun"
     )
 
+    # estimator-in-the-loop (config #2) sharded over the same mesh: the
+    # mocap KF + prediction-pipe state is per-vehicle, so it shards with
+    # the env axis (fewer substeps: the estimator chain is the point here)
+    states_est = sharding.init_fleet(params, mesh, n_envs)
+    est_step = sharding.make_fleet_step(
+        params, mesh, n_envs, n_substeps=max(1, substeps // 5),
+        use_estimator="mocap",
+    )
+    states_est, metrics_est = est_step(states_est, cmds)
+    jax.block_until_ready(metrics_est)
+    assert int(metrics_est.num_panicked) == 0
+
     # candidate-sharded RAPPIDS planning across the same mesh
     from agrifly_tpu.planner import rappids
 

@@ -56,11 +56,13 @@ class FleetMetrics(NamedTuple):
     max_tilt_cos: jnp.ndarray  # scalar: worst (most tilted) cos(tilt)
 
 
-def _local_step(params, states, cmds, n_env_total, n_substeps):
+def _local_step(params, states, cmds, n_env_total, n_substeps,
+                use_estimator=False):
     """Per-shard body: scan the fused step, then psum fleet metrics."""
 
     def body(carry, _):
-        new_states, _ = jax.vmap(env_mod.step, in_axes=(None, 0, 0))(params, carry, cmds)
+        new_states, _ = jax.vmap(env_mod.step, in_axes=(None, 0, 0, None))(
+            params, carry, cmds, use_estimator)
         return new_states, None
 
     states, _ = jax.lax.scan(body, states, None, length=n_substeps)
@@ -84,12 +86,19 @@ def _local_step(params, states, cmds, n_env_total, n_substeps):
     return states, metrics
 
 
-def make_fleet_step(params, mesh: Mesh, n_envs: int, n_substeps: int = 1):
-    """jitted (states, cmds) -> (states, FleetMetrics), env axis sharded."""
+def make_fleet_step(params, mesh: Mesh, n_envs: int, n_substeps: int = 1,
+                    use_estimator=False):
+    """jitted (states, cmds) -> (states, FleetMetrics), env axis sharded.
+
+    use_estimator: False (perfect state), "mocap", or "gpsimu" — the same
+    modes as env.step; estimator state shards with the env axis (it is
+    per-vehicle), so the estimator-in-the-loop configs scale over the mesh
+    identically to perfect-state."""
     spec_env = P(ENV_AXIS)
 
     fn = jax.shard_map(
-        partial(_local_step, params, n_env_total=n_envs, n_substeps=n_substeps),
+        partial(_local_step, params, n_env_total=n_envs, n_substeps=n_substeps,
+                use_estimator=use_estimator),
         mesh=mesh,
         in_specs=(spec_env, spec_env),
         out_specs=(spec_env, P()),

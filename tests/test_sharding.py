@@ -98,3 +98,47 @@ def test_sharded_planner_on_mesh():
 
     end = np.asarray(traj_mod.position(res.traj, res.traj.tf))
     assert end[2] > 1.0  # forward in the camera frame
+
+
+def test_estimator_mode_fleet_step_on_mesh():
+    """Config #2 (estimator in the loop) sharded over the 8-device mesh:
+    the per-vehicle mocap KF + prediction pipe shard with the env axis,
+    and the sharded rollout matches an unsharded vmap rollout exactly."""
+    mesh = sharding.make_mesh(jax.devices()[:8])
+    params = env_mod.make_params(noise_scale=1.0)
+    n_envs = 16
+    states = sharding.init_fleet(params, mesh, n_envs)
+    cmd = env_mod.hover_command((0.0, 0.0, 1.0))
+    cmds = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x, (n_envs,) + x.shape), cmd
+    )
+    cmds_sh = jax.device_put(
+        cmds, jax.tree_util.tree_map(lambda _: sharding.env_sharding(mesh), cmds)
+    )
+    est_step = sharding.make_fleet_step(
+        params, mesh, n_envs, n_substeps=10, use_estimator="mocap"
+    )
+    states_sh, metrics = est_step(states, cmds_sh)
+    jax.block_until_ready(metrics)
+    assert int(metrics.num_panicked) == 0
+
+    # same 10 ticks unsharded
+    ref = sharding.init_fleet(params, sharding.make_mesh(jax.devices()[:1]), n_envs)
+
+    def unsharded(states):
+        def body(c, _):
+            s, _ = jax.vmap(env_mod.step, in_axes=(None, 0, 0, None))(
+                params, c, cmds, "mocap")
+            return s, None
+        s, _ = jax.lax.scan(body, states, None, length=10)
+        return s
+
+    ref = jax.jit(unsharded)(ref)
+    np.testing.assert_allclose(
+        np.asarray(states_sh.plant.pos), np.asarray(ref.plant.pos),
+        rtol=1e-6, atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(states_sh.mocap.pos), np.asarray(ref.mocap.pos),
+        rtol=1e-6, atol=1e-6,
+    )
