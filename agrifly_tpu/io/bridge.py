@@ -191,6 +191,10 @@ class SimBridge:
             pkts, new_logic = tel_codec.encode_from_logic(logic)
             self.state = self.state._replace(logic=new_logic)
             dec = tel_codec.decode(pkts)
+            # YPR rebuilt from the wire attitude's vector part, exactly like
+            # the reference publisher (SyncSimulator/main.cpp:595-602)
+            ypr = rot_ops.to_euler_ypr(
+                rot_ops.from_vector_part(jnp.asarray(dec.attitude)))
             self.bus.publish(
                 f"telemetry{vid}",
                 msgs.Telemetry(
@@ -201,6 +205,10 @@ class SimBridge:
                     position=tuple(np.asarray(dec.position, np.float64)),
                     attitude=tuple(np.asarray(dec.attitude, np.float64)),
                     velocity=tuple(np.asarray(dec.velocity, np.float64)),
+                    attitudeYPR=tuple(float(x) for x in ypr),
+                    motorForces=tuple(np.asarray(dec.motor_forces, np.float64)),
+                    debugVals=tuple(np.asarray(dec.debug, np.float64)),
+                    batteryVoltage=float(dec.batt_voltage),
                     panicReason=int(dec.panic_reason),
                     warnings=int(dec.warnings),
                 ),

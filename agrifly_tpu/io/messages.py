@@ -114,6 +114,9 @@ class Telemetry:
     attitude: Tuple[float, float, float] = (0.0, 0.0, 0.0)
     velocity: Tuple[float, float, float] = (0.0, 0.0, 0.0)
     attitudeYPR: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    motorForces: Tuple[float, float, float, float] = (0.0, 0.0, 0.0, 0.0)
+    debugVals: Tuple[float, ...] = tuple([0.0] * 6)
+    batteryVoltage: float = 0.0
     panicReason: int = 0
     warnings: int = 0
 

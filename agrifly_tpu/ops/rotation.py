@@ -98,6 +98,16 @@ def to_euler_ypr(q):
     return yaw, pitch, roll
 
 
+def from_vector_part(v):
+    """Unit quaternion from its vector part, w = sqrt(1 - |v|^2) >= 0
+    (Rotation.hpp FromVectorPartOfQuaternion — used to rebuild attitude
+    from the telemetry wire format, which sends only x, y, z)."""
+    v = jnp.asarray(v)
+    w2 = 1.0 - (v * v).sum(-1, keepdims=True)
+    w = jnp.sqrt(jnp.maximum(w2, 0.0))
+    return jnp.concatenate([w, v], axis=-1)
+
+
 def to_vector_part(q):
     """Vector part with the sign flipped so the scalar part is positive."""
     sign = jnp.where(q[..., 0:1] > 0, 1.0, -1.0).astype(q.dtype)

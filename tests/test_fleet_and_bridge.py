@@ -86,6 +86,13 @@ def test_bridge_topic_rates_and_content():
     assert truth.posz > 0.0  # lifted off within the first second
     tel = received["telemetry1"][-1]
     assert tel.panicReason == 0
+    # full telemetry.msg schema: battery, motor forces, YPR from the wire
+    # attitude (SyncSimulator/main.cpp:595-602)
+    # the sim holds battery at 1.2 x critical (6 V for this vehicle class)
+    assert abs(tel.batteryVoltage - 7.2) < 0.1
+    assert all(f > 0.0 for f in tel.motorForces)  # spinning in hover
+    assert len(tel.debugVals) == 6
+    assert abs(tel.attitudeYPR[1]) < 0.5 and abs(tel.attitudeYPR[2]) < 0.5
 
     # radio_command input path: inject a kill over the bus schema
     from agrifly_tpu.io import radio as radio_codec

@@ -100,3 +100,14 @@ def test_batched_shapes():
     assert rot.rotate(q, v).shape == (7, 3)
     assert rot.qmul(q, q).shape == (7, 4)
     assert rot.to_rotation_vector(q).shape == (7, 3)
+
+
+def test_from_vector_part_roundtrip():
+    """FromVectorPartOfQuaternion parity: vector part of a w>=0 unit
+    quaternion rebuilds it exactly."""
+    rng = np.random.default_rng(11)
+    q = rng.normal(size=(32, 4))
+    q /= np.linalg.norm(q, axis=-1, keepdims=True)
+    q[q[:, 0] < 0] *= -1.0  # canonical w >= 0
+    rebuilt = np.asarray(rot.from_vector_part(jnp.asarray(q[:, 1:4])))
+    np.testing.assert_allclose(rebuilt, q, atol=1e-5)
