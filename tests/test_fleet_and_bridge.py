@@ -295,3 +295,44 @@ def test_ros_adapter_mapping_and_conversion():
     bus = bridge.TopicBus()
     adapter = ra.RosAdapter(bus)
     assert adapter.active is False
+
+
+def test_mirror_fields_match_msg_files():
+    """Field-for-field schema pin against the actual .msg files (skipped
+    when the reference checkout isn't mounted)."""
+    import dataclasses
+    import os
+
+    import pytest
+
+    msg_dir = "/root/reference/AIFS_ROS/hiperlab_rostools/msg"
+    if not os.path.isdir(msg_dir):
+        pytest.skip("reference .msg files not available")
+
+    from agrifly_tpu.io import messages as m
+
+    pairs = {
+        "radio_command": m.RadioCommand, "telemetry": m.Telemetry,
+        "mocap_output": m.MocapOutput, "gps_output": m.GpsOutput,
+        "imu_output": m.ImuOutput, "simulator_truth": m.SimulatorTruth,
+        "estimator_output": m.EstimatorOutput,
+        "joystick_values": m.JoystickValues,
+        "planner_diagnostics": m.PlannerDiagnostics,
+        "planner_input": m.PlannerInput, "planner_output": m.PlannerOutput,
+        "planner_statistics": m.PlannerStatistics,
+        "polynomial_trajectory": m.PolynomialTrajectory,
+        "controller_diagnostics": m.ControllerDiagnostics,
+        "controller_input": m.ControllerInput,
+        "controller_output": m.ControllerOutput,
+    }
+    for name, cls in pairs.items():
+        declared = []
+        with open(os.path.join(msg_dir, f"{name}.msg")) as f:
+            for line in f:
+                line = line.split("#", 1)[0].strip()
+                if line:
+                    declared.append(line.split()[1])
+        ours = {f.name for f in dataclasses.fields(cls)}
+        missing = [f for f in declared if f not in ours]
+        extra = [f for f in ours if f not in declared and f != "header"]
+        assert not missing and not extra, (name, missing, extra)
