@@ -240,14 +240,21 @@ class ControllerDiagnostics:
 
 
 @dataclass
+class Pose:
+    """geometry_msgs/Pose: position + quaternion orientation."""
+
+    position: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    orientation: Tuple[float, float, float, float] = (1.0, 0.0, 0.0, 0.0)
+
+
+@dataclass
 class PoseEulerStamped:
     """hiperlab_hardware/msg/PoseEulerStamped.msg: orientation in
     quaternion and euler form with frame + timestamp."""
 
     header: Header = field(default_factory=Header)
     eulerRPY: Tuple[float, float, float] = (0.0, 0.0, 0.0)
-    position: Tuple[float, float, float] = (0.0, 0.0, 0.0)  # pose.position
-    orientation: Tuple[float, float, float, float] = (1.0, 0.0, 0.0, 0.0)  # pose.orientation
+    pose: Pose = field(default_factory=Pose)
 
 
 @dataclass

@@ -46,7 +46,7 @@ TOPIC_TABLE: Tuple[Tuple[str, Type, str, str], ...] = (
 NESTED_MIRRORS = (
     msgs.Header, msgs.PlannerInput, msgs.PlannerOutput, msgs.PlannerStatistics,
     msgs.PolynomialTrajectory, msgs.Transform, msgs.ControllerInput,
-    msgs.ControllerOutput,
+    msgs.ControllerOutput, msgs.Pose,
 )
 
 
