@@ -42,6 +42,9 @@ def main(argv=None):
                          "the last waypoint")
     ap.add_argument("--land", action="store_true",
                     help="descend and idle after the last waypoint")
+    ap.add_argument("--fleet", type=int, default=1,
+                    help="fly N vehicles abreast as one batched program "
+                         "(independent full perception-plan-act loops)")
     ap.add_argument("--scene-file", type=str, default=None,
                     help="explicit world geometry: .obj (Helios-export "
                          "triangles) or a primitives text file "
@@ -91,13 +94,33 @@ def main(argv=None):
         land=args.land or args.traj_file is not None,
         mesh_scene=mesh_scene,
     )
-    state = orchard_env.init_state(params, jax.random.PRNGKey(args.seed))
+    import jax.numpy as jnp
+
+    fleet = max(1, args.fleet)
+    if fleet == 1:
+        state = orchard_env.init_state(params, jax.random.PRNGKey(args.seed))
+    else:
+        # one batched program, N independent vehicles abreast of each other
+        keys = jax.random.split(jax.random.PRNGKey(args.seed), fleet)
+        lanes = (jnp.arange(fleet, dtype=jnp.float32) - (fleet - 1) / 2.0) * 3.0
+        spawns = jnp.stack([jnp.zeros(fleet), lanes, jnp.zeros(fleet)], axis=1)
+        state = jax.vmap(lambda k, p: orchard_env.init_state(params, k, pos=p))(
+            keys, spawns
+        )
 
     frames_per_block = 31  # ~1 s of sim time
-    fly_block = jax.jit(lambda s: orchard_env.fly(params, s, frames_per_block))
+    if fleet == 1:
+        fly_block = jax.jit(lambda s: orchard_env.fly(params, s, frames_per_block))
+    else:
+        fly_block = jax.jit(
+            lambda s: jax.vmap(
+                lambda st: orchard_env.fly(params, st, frames_per_block)
+            )(s)
+        )
 
     print(f"agrifly_tpu demo: {jax.devices()[0].platform} backend, "
-          f"{w}x{h} depth, goal {tuple(args.goal)}")
+          f"{w}x{h} depth, goal {tuple(args.goal)}"
+          + (f", fleet of {fleet}" if fleet > 1 else ""))
     t_wall = time.perf_counter()
     block_walls = []
     blocks = max(1, args.frames // frames_per_block)
@@ -106,25 +129,40 @@ def main(argv=None):
         state, outs = fly_block(state)
         jax.block_until_ready(state)
         block_walls.append(time.perf_counter() - t_blk)
-        pos = np.asarray(state.base.plant.pos)
-        fs = int(state.base.logic.fs)
-        panic = int(state.base.logic.panic_reason)
-        plans = int(state.plan_count)
-        sim_t = int(state.base.step) * 0.002
-        mstage = {0: "cruise", 1: "landing", 2: "complete"}[int(state.mstage)]
-        print(
-            f"t={sim_t:6.2f}s pos=({pos[0]:7.2f},{pos[1]:6.2f},{pos[2]:5.2f}) "
-            f"fs={fs} panic={onboard.PANIC_REASON_NAMES.get(panic, panic)} "
-            f"plans={plans} wp={int(state.waypoint_idx)} {mstage}"
-        )
-        if panic != 0:
+        sim_t = int(np.asarray(state.base.step).reshape(-1)[0]) * 0.002
+        if fleet == 1:
+            pos = np.asarray(state.base.plant.pos)
+            fs = int(state.base.logic.fs)
+            panic = int(state.base.logic.panic_reason)
+            plans = int(state.plan_count)
+            mstage = {0: "cruise", 1: "landing", 2: "complete"}[int(state.mstage)]
+            print(
+                f"t={sim_t:6.2f}s pos=({pos[0]:7.2f},{pos[1]:6.2f},{pos[2]:5.2f}) "
+                f"fs={fs} panic={onboard.PANIC_REASON_NAMES.get(panic, panic)} "
+                f"plans={plans} wp={int(state.waypoint_idx)} {mstage}"
+            )
+            panicked = panic != 0
+            done = int(state.mstage) == 2
+        else:
+            pos = np.asarray(state.base.plant.pos)  # (N, 3)
+            panics = np.asarray(state.base.logic.panic_reason)
+            plans = int(np.asarray(state.plan_count).sum())
+            print(
+                f"t={sim_t:6.2f}s x=[{pos[:, 0].min():6.2f},{pos[:, 0].max():6.2f}] "
+                f"z=[{pos[:, 2].min():4.2f},{pos[:, 2].max():4.2f}] "
+                f"panics={int((panics != 0).sum())}/{fleet} plans={plans} "
+                f"landed={int((np.asarray(state.mstage) == 2).sum())}/{fleet}"
+            )
+            panicked = bool((panics != 0).any())
+            done = bool((np.asarray(state.mstage) == 2).all())
+        if panicked:
             print("PANIC — aborting")
             break
-        if int(state.mstage) == 2:
+        if done:
             print("landed — mission complete")
             break
     wall = time.perf_counter() - t_wall
-    sim_time = int(state.base.step) * 0.002
+    sim_time = int(np.asarray(state.base.step).reshape(-1)[0]) * 0.002
     msg = (f"flew {sim_time:.1f}s of sim time in {wall:.1f}s wall "
            f"({sim_time / wall:.2f}x realtime incl. compile)")
     if len(block_walls) > 1:
@@ -133,6 +171,8 @@ def main(argv=None):
         steady_sim = frames_per_block * params.steps_per_frame * 0.002 * (len(block_walls) - 1)
         msg += (f"; steady state {steady_sim / steady_wall:.2f}x realtime "
                 f"({steady_wall / (len(block_walls) - 1) / frames_per_block * 1e3:.1f} ms/frame)")
+        if fleet > 1:
+            msg += f"; aggregate {fleet * steady_sim / steady_wall:.1f}x realtime over {fleet} vehicles"
     print(msg)
 
     if args.csv:
@@ -140,6 +180,8 @@ def main(argv=None):
         from agrifly_tpu.utils import simlog
 
         _, outs = fly_block(state)
+        if fleet > 1:  # log vehicle 0 of the batch
+            outs = jax.tree_util.tree_map(lambda x: x[0], outs)
         import types
 
         traj = types.SimpleNamespace(
