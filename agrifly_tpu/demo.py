@@ -45,6 +45,11 @@ def main(argv=None):
     ap.add_argument("--fleet", type=int, default=1,
                     help="fly N vehicles abreast as one batched program "
                          "(independent full perception-plan-act loops)")
+    ap.add_argument("--record", type=str, default=None,
+                    help="record every published topic (truth + planner/"
+                         "controller diagnostics) to a JSONL file — the "
+                         "rosbag_record workflow; flies frame-by-frame "
+                         "through the topic bridge (single vehicle)")
     ap.add_argument("--scene-file", type=str, default=None,
                     help="explicit world geometry: .obj (Helios-export "
                          "triangles) or a primitives text file "
@@ -94,6 +99,33 @@ def main(argv=None):
         land=args.land or args.traj_file is not None,
         mesh_scene=mesh_scene,
     )
+    if args.record:
+        # rosbag_record_airsim.sh workflow: drive the orchard loop through
+        # the topic bridge and bus-record everything it publishes
+        from agrifly_tpu.io import bridge as bridge_mod
+
+        ob = bridge_mod.OrchardBridge(params, vehicle_id=1, seed=args.seed)
+        rec = bridge_mod.MessageRecorder(ob.bus, args.record)
+        print(f"agrifly_tpu demo (recording): {jax.devices()[0].platform} "
+              f"backend, {w}x{h} depth, -> {args.record}")
+        t_wall = time.perf_counter()
+        for b in range(args.frames):
+            ob.frame()
+            st = ob.state
+            if int(st.base.logic.panic_reason) != 0:
+                print("PANIC — aborting")
+                break
+            if (b + 1) % 31 == 0:
+                pos = np.asarray(st.base.plant.pos)
+                print(f"t={int(st.base.step) * 0.002:6.2f}s "
+                      f"pos=({pos[0]:7.2f},{pos[1]:6.2f},{pos[2]:5.2f}) "
+                      f"plans={int(st.plan_count)}")
+        rec.close()
+        wall = time.perf_counter() - t_wall
+        print(f"recorded {rec.count} messages over "
+              f"{int(ob.state.base.step) * 0.002:.1f}s sim in {wall:.1f}s wall")
+        return 0
+
     import jax.numpy as jnp
 
     fleet = max(1, args.fleet)
