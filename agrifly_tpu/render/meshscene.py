@@ -196,6 +196,84 @@ def select_window(scene: MeshScene, cam_pos, reach_dist, capacity: int):
     return jnp.where(ok[:, None], rows, jnp.zeros_like(rows))
 
 
+def row_bounding_spheres(window):
+    """Conservative world-space bounding sphere per window row.
+
+    window: (..., K, ROW_WIDTH). Returns (center (..., K, 3), radius
+    (..., K)); rows of type NONE get radius -1 (never visible)."""
+    kind = window[..., 0]
+    p = window[..., 1:]
+    is_s = kind == PRIM_SPHERE
+    is_c = kind == PRIM_CYLINDER
+    is_t = kind == PRIM_TRIANGLE
+
+    # cylinder: center (x, y, (z0+z1)/2), r = sqrt(r^2 + ((z1-z0)/2)^2)
+    half_h = (p[..., 3] - p[..., 2]) * 0.5
+    c_r = jnp.sqrt(p[..., 4] ** 2 + half_h ** 2)
+    # triangle: centroid v0 + (e1+e2)/3, r = max vertex distance
+    g = (p[..., 3:6] + p[..., 6:9]) / 3.0
+    d0 = jnp.linalg.norm(g, axis=-1)
+    d1 = jnp.linalg.norm(p[..., 3:6] - g, axis=-1)
+    d2 = jnp.linalg.norm(p[..., 6:9] - g, axis=-1)
+    t_r = jnp.maximum(d0, jnp.maximum(d1, d2))
+
+    cx = jnp.where(is_t, p[..., 0] + g[..., 0], p[..., 0])
+    cy = jnp.where(is_t, p[..., 1] + g[..., 1], p[..., 1])
+    cz = jnp.where(is_s, p[..., 2],
+                   jnp.where(is_c, (p[..., 2] + p[..., 3]) * 0.5,
+                             p[..., 2] + g[..., 2]))
+    r = jnp.where(is_s, p[..., 3], jnp.where(is_c, c_r, t_r))
+    r = jnp.where(kind == PRIM_NONE, -1.0, r * 1.001 + 1e-3)  # margin
+    return jnp.stack([cx, cy, cz], axis=-1), r
+
+
+def strip_windows(cfg: RenderConfig, window, cam_pos, cam_att, tile_h: int):
+    """Per-strip compaction of a frame window for strip-tiled raycasters.
+
+    For each tile_h-row strip of the image, conservatively tests every
+    window row's bounding sphere against the strip's ray cone (5 halfspace
+    tests — a convex superset of the cone, so no possibly-hitting row is
+    ever dropped) and compacts the passing rows to the front.
+
+    Returns (strips (T, K, ROW_WIDTH) with passing rows first, n_vis (T,)
+    int32). A strip-tiled renderer loops only n_vis[t] rows instead of K
+    (typically a 3-6x cut: trees are narrow in ey)."""
+    K = window.shape[0]
+    T = cfg.height // tile_h
+    center, radius = row_bounding_spheres(window)  # (K,3), (K,)
+
+    # world -> camera
+    R = rot.to_matrix(cam_att)
+    c = (center - cam_pos[None, :]) @ R  # (K,3): c[k] = R^T (center_k - cam)
+    ccx, ccy, ccz = c[..., 0], c[..., 1], c[..., 2]
+
+    ex_min = -cfg.width / (2.0 * cfg.focal)
+    ex_max = (cfg.width - 1 - cfg.width / 2.0) / cfg.focal
+    ys = jnp.arange(T, dtype=jnp.float32) * tile_h
+    ey_min = (ys - cfg.height / 2.0) / cfg.focal  # (T,)
+    ey_max = (ys + tile_h - 1 - cfg.height / 2.0) / cfg.focal
+
+    ok = radius >= 0
+    ok &= ccz + radius > 0.0  # not fully behind the camera
+    ok &= ccz - radius <= cfg.far  # beyond far clips to code 255 anyway
+    ok &= (ccx - ex_min * ccz) >= -radius * math.sqrt(1.0 + ex_min * ex_min)
+    ok &= (ex_max * ccz - ccx) >= -radius * math.sqrt(1.0 + ex_max * ex_max)
+    # per-strip vertical halfspaces: (T, K)
+    sy_min = jnp.sqrt(1.0 + ey_min * ey_min)[:, None]
+    sy_max = jnp.sqrt(1.0 + ey_max * ey_max)[:, None]
+    vis = ok[None, :]
+    vis = vis & ((ccy[None, :] - ey_min[:, None] * ccz[None, :]) >= -radius[None, :] * sy_min)
+    vis = vis & ((ey_max[:, None] * ccz[None, :] - ccy[None, :]) >= -radius[None, :] * sy_max)
+
+    # stable compaction: passing rows first, original order preserved
+    order = jnp.argsort(~vis, axis=-1, stable=True)  # (T, K)
+    strips = window[order]  # (T, K, ROW_WIDTH)
+    # zero out the non-passing tail so its rows are type NONE
+    keep = jnp.arange(K)[None, :] < vis.sum(-1)[:, None]
+    strips = jnp.where(keep[:, :, None], strips, 0.0)
+    return strips, vis.sum(-1).astype(jnp.int32)
+
+
 def _hit_row(row, o, d):
     """Planar-depth intersection of every ray with one primitive row.
     o, d: (..., 3) origins/dirs (d z-normalized in camera scale is NOT

@@ -29,10 +29,9 @@ from agrifly_tpu.render.raycast import BIG, RenderConfig, camera_attitude
 TILE_H = 16
 
 
-def _kernel(scalars_ref, window_ref, out_ref, *, cfg: RenderConfig, capacity: int):
-    b = pl.program_id(0)
-    t = pl.program_id(1)
-
+def _tile_rays_and_ground(scalars_ref, b, t, cfg: RenderConfig):
+    """Shared per-tile setup: camera scalars -> ray dirs + ground-plane
+    best-depth init for the (TILE_H, W) strip at row t * TILE_H."""
     cx = scalars_ref[b, 0]
     cy = scalars_ref[b, 1]
     cz = scalars_ref[b, 2]
@@ -51,6 +50,14 @@ def _kernel(scalars_ref, window_ref, out_ref, *, cfg: RenderConfig, capacity: in
     # ground plane z = 0
     t_ground = -cz / jnp.where(jnp.abs(dz) < 1e-9, 1e-9, dz)
     best0 = jnp.where((t_ground > 0) & (dz != 0), t_ground, jnp.float32(BIG))
+    return (cx, cy, cz), (dx, dy, dz), best0
+
+
+def _hit_branches(cam, dirs, cfg: RenderConfig):
+    """The lax.switch branch list [none, sphere, cyl, tri] over one tile's
+    rays; p is the 9 scalar row parameters."""
+    cx, cy, cz = cam
+    dx, dy, dz = dirs
 
     def sphere_hit(p):
         ox, oy, oz = cx - p[0], cy - p[1], cz - p[2]
@@ -98,15 +105,20 @@ def _kernel(scalars_ref, window_ref, out_ref, *, cfg: RenderConfig, capacity: in
         ok = (jnp.abs(det) >= 1e-12) & (u >= 0) & (v >= 0) & (u + v <= 1) & (tt > 0)
         return jnp.where(ok, tt, BIG)
 
+    none_hit = lambda p: jnp.full((TILE_H, cfg.width), BIG, jnp.float32)
+    return [none_hit, sphere_hit, cyl_hit, tri_hit]
+
+
+def _kernel(scalars_ref, window_ref, out_ref, *, cfg: RenderConfig, capacity: int):
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+    cam, dirs, best0 = _tile_rays_and_ground(scalars_ref, b, t, cfg)
+    branches = _hit_branches(cam, dirs, cfg)
+
     def body(i, best):
         kind = window_ref[i, 0].astype(jnp.int32)
         p = [window_ref[i, 1 + k] for k in range(9)]
-        tt = jax.lax.switch(
-            jnp.clip(kind, 0, 3),
-            [lambda p: jnp.full((TILE_H, cfg.width), BIG, jnp.float32),
-             sphere_hit, cyl_hit, tri_hit],
-            p,
-        )
+        tt = jax.lax.switch(jnp.clip(kind, 0, 3), branches, p)
         return jnp.minimum(best, tt)
 
     best = jax.lax.fori_loop(0, capacity, body, best0)
@@ -166,13 +178,86 @@ def render_depth_window_batch(cfg: RenderConfig, windows, cam_pos, cam_att,
     )(scalars, win_flat)
 
 
+def _strip_kernel(scalars_ref, nvis_ref, strips_ref, out_ref, *, cfg: RenderConfig):
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+    cam, dirs, best0 = _tile_rays_and_ground(scalars_ref, b, t, cfg)
+    branches = _hit_branches(cam, dirs, cfg)
+
+    def body(i, best):
+        kind = strips_ref[0, 0, i, 0].astype(jnp.int32)
+        p = [strips_ref[0, 0, i, 1 + k] for k in range(9)]
+        tt = jax.lax.switch(jnp.clip(kind, 0, 3), branches, p)
+        return jnp.minimum(best, tt)
+
+    # only the rows that can possibly hit this strip (host-side compaction)
+    best = jax.lax.fori_loop(0, nvis_ref[b, t], body, best0)
+
+    scale = cfg.far / 256.0
+    code = jnp.floor(best / scale).astype(jnp.int32)
+    out_ref[0] = jnp.clip(code, 0, 255)
+
+
+def render_depth_strips_batch(cfg: RenderConfig, windows, cam_pos, cam_att,
+                              interpret=False):
+    """Strip-compacted variant of render_depth_window_batch: per 16-row
+    strip, only the window rows whose bounding sphere meets the strip's
+    ray cone are intersected (meshscene.strip_windows builds the per-strip
+    tables vector-side on the host; the conservative test means output is
+    identical). Trees are narrow in ey, so this typically cuts the row
+    loop 3-6x on tall frames."""
+    from agrifly_tpu.render.meshscene import strip_windows
+
+    B = cam_pos.shape[0]
+    capacity = windows.shape[1]
+    assert cfg.height % TILE_H == 0
+    T = cfg.height // TILE_H
+
+    Rm = rot.to_matrix(cam_att).reshape(B, 9)
+    scalars = jnp.concatenate(
+        [cam_pos.astype(jnp.float32), Rm.astype(jnp.float32)], axis=1
+    )
+    strips, nvis = jax.vmap(
+        lambda w, p, a: strip_windows(cfg, w, p, a, TILE_H)
+    )(windows, cam_pos, cam_att)  # (B, T, K, ROW_WIDTH), (B, T)
+
+    return pl.pallas_call(
+        functools.partial(_strip_kernel, cfg=cfg),
+        out_shape=jax.ShapeDtypeStruct((B, cfg.height, cfg.width), jnp.int32),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(B, T),
+            in_specs=[
+                pl.BlockSpec(
+                    (1, 1, capacity, ROW_WIDTH),
+                    lambda b, t, s1, s2: (b, t, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, TILE_H, cfg.width),
+                lambda b, t, s1, s2: (b, t, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ),
+        interpret=interpret,
+    )(scalars, nvis, strips)
+
+
 def render_depth_batch(cfg: RenderConfig, scene: MeshScene, cam_pos, cam_att,
-                       window_capacity: int = 192, interpret=False):
-    """select_window per pose + the kernel. cam_pos (B,3), cam_att (B,4)."""
+                       window_capacity: int = 192, interpret=False,
+                       strip_culling=True):
+    """select_window per pose + the kernel. cam_pos (B,3), cam_att (B,4).
+
+    strip_culling=True routes through the strip-compacted kernel (same
+    output, parity-tested; severalfold faster on tall frames)."""
     reach = cfg.far * slant_factor(cfg)
     windows = jax.vmap(
         lambda p: select_window(scene, p, reach, window_capacity)
     )(cam_pos)
+    if strip_culling:
+        return render_depth_strips_batch(cfg, windows, cam_pos, cam_att,
+                                         interpret=interpret)
     return render_depth_window_batch(cfg, windows, cam_pos, cam_att,
                                      interpret=interpret)
 

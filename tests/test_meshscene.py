@@ -116,3 +116,33 @@ def test_rappids_flight_through_explicit_scene(baked):
     assert int(final.plan_count) > 3
     assert pos[-1, 0] > 2.0, pos[-1]  # forward progress through the trees
     assert np.all(pos[95:, 2] > 0.2)  # never hits the ground mid-flight
+
+
+def test_strip_culled_kernel_exact_parity(baked):
+    """The strip-compacted kernel (host-side vector cone culling +
+    per-strip trip counts) must match the full-window kernel pixel for
+    pixel over random poses and yaws — the culling is conservative, so
+    no possibly-hitting row is ever dropped."""
+    from agrifly_tpu.ops import rotation as rot
+    from agrifly_tpu.render import pallas_meshscene
+
+    scene, cfg, mesh = baked
+    reach = cfg.far * meshscene.slant_factor(cfg)
+    rng = np.random.default_rng(5)
+    for _ in range(4):
+        pos = jnp.asarray(
+            [rng.uniform(-5, 40), rng.uniform(-10, 10), rng.uniform(0.5, 4.0)],
+            jnp.float32,
+        )
+        att = raycast.camera_attitude(
+            rot.from_euler_ypr(jnp.float32(rng.uniform(-np.pi, np.pi)), 0.0, 0.0))
+        win = meshscene.select_window(mesh, pos, reach, 96)[None]
+        ref = np.asarray(pallas_meshscene.render_depth_window_batch(
+            cfg, win, pos[None], att[None], interpret=True)[0])
+        got = np.asarray(pallas_meshscene.render_depth_strips_batch(
+            cfg, win, pos[None], att[None], interpret=True)[0])
+        np.testing.assert_array_equal(ref, got)
+        # and the compaction is actually doing something
+        _, nvis = meshscene.strip_windows(
+            cfg, win[0], pos, att, pallas_meshscene.TILE_H)
+        assert float(np.asarray(nvis).mean()) < 48
