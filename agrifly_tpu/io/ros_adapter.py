@@ -58,27 +58,37 @@ def lookup(topic: str) -> Optional[Tuple[Type, str, str]]:
     return None
 
 
-def copy_to_ros(mirror, ros_msg):
+def copy_to_ros(mirror, ros_msg, time_from_sec=None):
     """Field-by-field copy of a mirror dataclass onto a ROS message object.
 
     Field names match the .msg files 1:1 by construction; nested
     dataclasses recurse onto the equally-named ROS sub-message. Fields the
     target lacks are skipped (forward compatible), tuples are assigned
     as-is (rospy accepts sequences for fixed arrays).
+
+    Mirror Headers carry the stamp as float seconds while std_msgs/Header
+    wants a rospy.Time; pass ``time_from_sec=rospy.Time.from_sec`` to
+    convert ``stamp`` fields during the copy.
     """
     for f in dataclasses.fields(mirror):
         if not hasattr(ros_msg, f.name):
             continue
         val = getattr(mirror, f.name)
         if dataclasses.is_dataclass(val):
-            copy_to_ros(val, getattr(ros_msg, f.name))
+            copy_to_ros(val, getattr(ros_msg, f.name), time_from_sec)
+        elif f.name == "stamp" and time_from_sec is not None:
+            setattr(ros_msg, f.name, time_from_sec(val))
         else:
             setattr(ros_msg, f.name, val)
     return ros_msg
 
 
 def copy_from_ros(ros_msg, cls):
-    """Build a mirror dataclass from a ROS message (inverse of copy_to_ros)."""
+    """Build a mirror dataclass from a ROS message (inverse of copy_to_ros).
+
+    rospy.Time-valued stamps (anything with a ``to_sec``) collapse back to
+    float seconds.
+    """
     kwargs = {}
     for f in dataclasses.fields(cls):
         if not hasattr(ros_msg, f.name):
@@ -90,9 +100,48 @@ def copy_from_ros(ros_msg, cls):
             kwargs[f.name] = copy_from_ros(val, type(default))
         elif isinstance(default, tuple):
             kwargs[f.name] = tuple(val)
+        elif hasattr(val, "to_sec"):
+            kwargs[f.name] = val.to_sec()
         else:
             kwargs[f.name] = val
     return cls(**kwargs)
+
+
+def odometry_to_ros(mirror, ros_msg, time_from_sec=None):
+    """Explicit Odometry mirror -> nav_msgs/Odometry mapping.
+
+    The mirror keeps the T265 sample flat (position / w-first orientation /
+    body-frame twist, Simulator/main.cpp:358-394 shape); nav_msgs nests
+    them under pose.pose / twist.twist with x,y,z,w quaternions, so a
+    name-matched field copy cannot reach them.
+    """
+    copy_to_ros(mirror.header, ros_msg.header, time_from_sec)
+    ros_msg.child_frame_id = mirror.child_frame_id
+    p = ros_msg.pose.pose.position
+    p.x, p.y, p.z = mirror.position
+    q = ros_msg.pose.pose.orientation
+    q.w, q.x, q.y, q.z = mirror.orientation  # mirror is w-first
+    lin = ros_msg.twist.twist.linear
+    lin.x, lin.y, lin.z = mirror.linear_B
+    ang = ros_msg.twist.twist.angular
+    ang.x, ang.y, ang.z = mirror.angular_B
+    return ros_msg
+
+
+def odometry_from_ros(ros_msg):
+    """nav_msgs/Odometry -> Odometry mirror (inverse of odometry_to_ros)."""
+    p = ros_msg.pose.pose.position
+    q = ros_msg.pose.pose.orientation
+    lin = ros_msg.twist.twist.linear
+    ang = ros_msg.twist.twist.angular
+    return msgs.Odometry(
+        header=copy_from_ros(ros_msg.header, msgs.Header),
+        child_frame_id=ros_msg.child_frame_id,
+        position=(p.x, p.y, p.z),
+        orientation=(q.w, q.x, q.y, q.z),
+        linear_B=(lin.x, lin.y, lin.z),
+        angular_B=(ang.x, ang.y, ang.z),
+    )
 
 
 def _import_ros():
@@ -131,10 +180,16 @@ class RosAdapter:
         rospy, pkgs = self._ros  # pragma: no cover - ROS workspace only
         rospy.init_node(node_name, anonymous=True)
         self._rospy, self._pkgs = rospy, pkgs
+        self._time_from_sec = rospy.Time.from_sec
         bus.subscribe_all(self._on_bus_message)
         for vid in vehicle_ids:
             self._subscribe_inbound(f"radio_command{vid}")
         self._subscribe_inbound("joystick_values")
+
+    @classmethod
+    def is_inbound(cls, topic) -> bool:
+        """True for topics that originate on the ROS side (ROS -> bus)."""
+        return any(re.fullmatch(p, topic) for p in cls.INBOUND)
 
     # pragma: no cover - the ROS paths below run only in a ROS workspace
     def _ros_class(self, pkg, name):
@@ -151,6 +206,11 @@ class RosAdapter:
         )
 
     def _on_bus_message(self, topic, msg):
+        # Inbound topics were injected onto the bus *from* ROS; in ROS1 a
+        # node receives its own publications, so re-mirroring them back
+        # would loop radio_command/joystick forever.
+        if self.is_inbound(topic):
+            return
         hit = lookup(topic)
         if hit is None:
             return
@@ -158,4 +218,9 @@ class RosAdapter:
         if topic not in self._pubs:
             self._pubs[topic] = self._rospy.Publisher(
                 topic, self._ros_class(pkg, name), queue_size=1)
-        self._pubs[topic].publish(copy_to_ros(msg, self._ros_class(pkg, name)()))
+        ros_msg = self._ros_class(pkg, name)()
+        if cls is msgs.Odometry:
+            out = odometry_to_ros(msg, ros_msg, self._time_from_sec)
+        else:
+            out = copy_to_ros(msg, ros_msg, self._time_from_sec)
+        self._pubs[topic].publish(out)

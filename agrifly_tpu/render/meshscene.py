@@ -242,9 +242,12 @@ def strip_windows(cfg: RenderConfig, window, cam_pos, cam_att, tile_h: int):
     T = cfg.height // tile_h
     center, radius = row_bounding_spheres(window)  # (K,3), (K,)
 
-    # world -> camera
+    # world -> camera. Broadcast-sum, not `@`: a (K,3)@(3,3) dot_general
+    # drops to bf16 on the MXU (~0.2% error can exceed the conservative
+    # margin and cull a grazing-but-hitting row); this stays f32 on the VPU.
     R = rot.to_matrix(cam_att)
-    c = (center - cam_pos[None, :]) @ R  # (K,3): c[k] = R^T (center_k - cam)
+    d = center - cam_pos[None, :]  # (K,3)
+    c = (d[:, :, None] * R[None, :, :]).sum(axis=1)  # c[k] = R^T (center_k - cam)
     ccx, ccy, ccz = c[..., 0], c[..., 1], c[..., 2]
 
     ex_min = -cfg.width / (2.0 * cfg.focal)

@@ -19,6 +19,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from agrifly_tpu.io import radio
 from agrifly_tpu.models import constants as qconst
@@ -211,11 +212,16 @@ def rollout_fast(params: EnvParams, state: EnvState, cmd: Command,
     if (dt != 2000 or int(params.mocap_period_us) != 5000
             or int(params.offboard_period_us) != 10000):
         return rollout(params, state, cmd, n_steps, use_estimator, ctrl_mode)
-    try:  # catch misuse when the entry step is concrete (outside jit)
-        concrete_step = int(state.step)
-    except (jax.errors.TracerIntegerConversionError, TypeError):
-        concrete_step = None
-    if concrete_step not in (None, 0):
+    # Catch misuse when the entry step is concrete (outside jit): the fast
+    # path's prologue assumes step == 0. Array-valued concrete steps (e.g.
+    # a vmapped batch chained outside jit) must be all-zero too — int()
+    # would raise TypeError on those and silently pass them through.
+    try:
+        concrete_nonzero = bool((np.asarray(state.step) != 0).any())
+    except (jax.errors.TracerArrayConversionError,
+            jax.errors.ConcretizationTypeError):
+        concrete_nonzero = False  # traced: caller's contract, can't check
+    if concrete_nonzero:
         return rollout(params, state, cmd, n_steps, use_estimator, ctrl_mode)
 
     PERIOD = 5

@@ -149,3 +149,36 @@ def test_rollout_fast_matches_rollout():
             np.asarray(ref_final.plant.pos), np.asarray(fast_final.plant.pos),
             atol=0.05, err_msg=f"mode={mode}",
         )
+
+
+def test_rollout_fast_nonzero_step_falls_back():
+    """Concrete nonzero entry steps — scalar or batched arrays — must not
+    take the cadence-specialized path (its prologue assumes step == 0).
+    int(array) raising TypeError used to slide batched states silently
+    onto the fast path with a restarted (wrong) cadence pattern."""
+    params = env.make_params(noise_scale=0.0)
+    cmd = env.hover_command((0.0, 0.0, 1.2))
+
+    # scalar concrete nonzero step: falls back to `rollout`, bit-identical
+    s0 = env.init_state(params, jax.random.PRNGKey(3))
+    s3, _ = env.rollout(params, s0, cmd, 3, False)
+    assert int(s3.step) == 3
+    fast_final, _ = env.rollout_fast(params, s3, cmd, 20, False)
+    ref_final, _ = env.rollout(params, s3, cmd, 20, False)
+    np.testing.assert_array_equal(
+        np.asarray(ref_final.mocap_acc_us), np.asarray(fast_final.mocap_acc_us))
+    np.testing.assert_array_equal(
+        np.asarray(ref_final.plant.pos), np.asarray(fast_final.plant.pos))
+
+    # batched concrete nonzero step: the guard must detect it (int() would
+    # raise TypeError) and route off the fast path. The general path then
+    # fails loudly on the unsupported batched layout — previously the
+    # specialized path ran it with a silently wrong firing pattern.
+    import pytest
+
+    keys = jax.random.split(jax.random.PRNGKey(3), 2)
+    sb0 = jax.vmap(lambda k: env.init_state(params, k))(keys)
+    sb3, _ = jax.vmap(lambda s: env.rollout(params, s, cmd, 3, False))(sb0)
+    assert np.asarray(sb3.step).shape == (2,)
+    with pytest.raises(Exception):
+        env.rollout_fast(params, sb3, cmd, 20, False)

@@ -1,5 +1,7 @@
 """Config #5: multi-drone fleet with wind + AIFS_ROS topic bridge."""
 
+import dataclasses
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -295,6 +297,80 @@ def test_ros_adapter_mapping_and_conversion():
     bus = bridge.TopicBus()
     adapter = ra.RosAdapter(bus)
     assert adapter.active is False
+
+    # inbound (ROS->bus) topics are never re-mirrored back to ROS: in ROS1
+    # a node receives its own publications, so mirroring would echo forever
+    assert ra.RosAdapter.is_inbound("radio_command3")
+    assert ra.RosAdapter.is_inbound("joystick_values")
+    assert not ra.RosAdapter.is_inbound("telemetry3")
+    assert not ra.RosAdapter.is_inbound("simulator_truth1")
+
+
+def test_ros_adapter_time_and_odometry_mapping():
+    """The real-rospy publish path: float stamps convert through
+    time_from_sec, and the flat Odometry mirror maps explicitly onto
+    nav_msgs/Odometry's nested pose.pose/twist.twist (x,y,z,w quat)."""
+    from agrifly_tpu.io import ros_adapter as ra
+
+    class FakeTime:
+        def __init__(self, sec):
+            self.secs = int(sec)
+            self.nsecs = int(round((sec - int(sec)) * 1e9))
+
+        def to_sec(self):
+            return self.secs + self.nsecs * 1e-9
+
+    class NS:  # generic nested namespace, like a rospy message object
+        def __init__(self, **kw):
+            self.__dict__.update(kw)
+
+    def nav_odom():
+        v3 = lambda: NS(x=0.0, y=0.0, z=0.0)
+        return NS(
+            header=NS(stamp=None, frame_id="", seq=0),
+            child_frame_id="",
+            pose=NS(pose=NS(position=v3(), orientation=NS(x=0.0, y=0.0, z=0.0, w=1.0))),
+            twist=NS(twist=NS(linear=v3(), angular=v3())),
+        )
+
+    mirror = messages.Odometry(
+        header=messages.Header(stamp=3.5, frame_id="odom", seq=7),
+        child_frame_id="base_link",
+        position=(1.0, 2.0, 3.0),
+        orientation=(0.8, 0.1, 0.2, 0.3),  # w-first in the mirror
+        linear_B=(0.4, 0.5, 0.6),
+        angular_B=(0.7, 0.8, 0.9),
+    )
+    ros = ra.odometry_to_ros(mirror, nav_odom(), time_from_sec=FakeTime)
+    assert isinstance(ros.header.stamp, FakeTime)  # not a raw float
+    assert ros.header.stamp.secs == 3 and ros.header.stamp.nsecs == 500000000
+    assert (ros.pose.pose.position.x, ros.pose.pose.position.y,
+            ros.pose.pose.position.z) == (1.0, 2.0, 3.0)
+    q = ros.pose.pose.orientation
+    assert (q.w, q.x, q.y, q.z) == (0.8, 0.1, 0.2, 0.3)  # reordered
+    assert (ros.twist.twist.linear.x, ros.twist.twist.angular.z) == (0.4, 0.9)
+
+    back = ra.odometry_from_ros(ros)
+    assert back == dataclasses.replace(mirror)
+
+    # stamped non-odometry messages also convert their stamp
+    truth = messages.SimulatorTruth(header=messages.Header(stamp=1.25), posx=9.0)
+
+    class StubHeader:
+        stamp = None
+        frame_id = ""
+        seq = 0
+
+    class StubTruth:
+        def __init__(self):
+            self.header = StubHeader()
+            self.posx = 0.0
+
+    out = ra.copy_to_ros(truth, StubTruth(), time_from_sec=FakeTime)
+    assert isinstance(out.header.stamp, FakeTime) and out.posx == 9.0
+    # and copy_from_ros collapses rospy.Time-like stamps back to float
+    rt = ra.copy_from_ros(out, messages.SimulatorTruth)
+    assert rt.header.stamp == 1.25 and rt.posx == 9.0
 
 
 def test_mirror_fields_match_msg_files():
