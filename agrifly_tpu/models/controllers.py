@@ -60,8 +60,9 @@ def angvel_control(tc_xy, tc_z, inertia, des_angvel, est_angvel):
     """tau = J * (err / tc) + w x (J w)."""
     err = des_angvel - est_angvel
     des_ang_accel = jnp.stack([err[..., 0] / tc_xy, err[..., 1] / tc_xy, err[..., 2] / tc_z], axis=-1)
-    nonlin = jnp.cross(est_angvel, jnp.einsum("ij,...j->...i", inertia, est_angvel))
-    return jnp.einsum("ij,...j->...i", inertia, des_ang_accel) + nonlin
+    # broadcast-sum matvecs: tiny dot_generals go bf16 on the TPU MXU
+    nonlin = jnp.cross(est_angvel, (inertia * est_angvel[..., None, :]).sum(-1))
+    return (inertia * des_ang_accel[..., None, :]).sum(-1) + nonlin
 
 
 def thrust_dir_to_attitude(thrust_dir):

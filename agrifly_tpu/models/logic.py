@@ -26,7 +26,7 @@ import jax.numpy as jnp
 from agrifly_tpu.io import radio
 from agrifly_tpu.models import constants as qconst
 from agrifly_tpu.models import controllers, ekf, mixer
-from agrifly_tpu.ops import filters
+from agrifly_tpu.ops import filters, lin3
 from agrifly_tpu.ops import rotation as rot
 
 # flight states
@@ -332,9 +332,9 @@ def logic_step(p: LogicParams, s: LogicState, u: LogicInputs):
     per_us = p.onboard_period_us
 
     # ---------------- sensor ingestion (the Set* methods) ----------------
-    gyro_raw = p.imu_rot @ u.gyro
+    gyro_raw = lin3.mv3(p.imu_rot, u.gyro)
     gyro_lp, _ = filters.lp2_apply(p.gyro_lp, s.gyro_lp, gyro_raw - s.gyro_bias)
-    acc_raw = p.imu_rot @ u.acc
+    acc_raw = lin3.mv3(p.imu_rot, u.acc)
     acc_lp, _ = filters.lp2_apply(p.acc_lp, s.acc_lp, acc_raw)
     temp_lp, _ = filters.lp2_apply(p.temp_lp, s.temp_lp, u.temperature)
     batt_lp, _ = filters.lp2_apply(p.batt_lp, s.batt_lp, u.batt_voltage)

@@ -28,6 +28,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from agrifly_tpu.ops import lin3
 from agrifly_tpu.ops import rotation as rot
 
 GRAVITY = jnp.array([0.0, 0.0, -9.81], jnp.float32)
@@ -140,9 +141,9 @@ def step(p: PlantParams, s: PlantState, motor_cmds, ext_force, ext_torque, dt):
     # --- rigid body ---
     total_torque_b = total_torque_b + rot.rotate_back(s.att, ext_torque)
 
-    ang_mom = p.inertia @ s.angvel
+    ang_mom = lin3.mv3(p.inertia, s.angvel)
     ang_mom = ang_mom.at[2].add(h_motor_z)
-    ang_acc = p.inertia_inv @ (total_torque_b - jnp.cross(s.angvel, ang_mom))
+    ang_acc = lin3.mv3(p.inertia_inv, total_torque_b - jnp.cross(s.angvel, ang_mom))
 
     vel_b = rot.rotate_back(s.att, s.vel)
     total_force_b = total_force_b - p.lin_drag_b * vel_b
@@ -168,17 +169,26 @@ def step(p: PlantParams, s: PlantState, motor_cmds, ext_force, ext_torque, dt):
     return new_state, acc_imu
 
 
-def imu_measurements(p: PlantParams, s: PlantState, acc_world, key):
+def imu_measurements(p: PlantParams, s: PlantState, acc_world, key=None,
+                     noise=None):
     """Fabricate noisy IMU readings from the post-step plant state.
 
     Mirrors Quadcopter_T.cpp:159-183: gyro = R_imu^-1 angvel + noise;
     accel = R_imu^-1 (att^-1 (acc + g)) + noise. Uses the *new* attitude and
     angular velocity (the reference reads them after integration).
+
+    noise: optional pre-drawn unit normals (gyro_n (3,), acc_n (3,)) — used
+    by the fused orchard frame (one batched draw per frame instead of two
+    threefry chains per tick, and no RNG inside the Pallas tick kernel).
+    When None, draws from `key` as before.
     """
-    k1, k2 = jax.random.split(key)
-    gyro = p.imu_rot_inv @ s.angvel
-    gyro = gyro + jax.random.normal(k1, (3,), jnp.float32) * GYRO_NOISE_STD
+    if noise is None:
+        k1, k2 = jax.random.split(key)
+        gyro_n = jax.random.normal(k1, (3,), jnp.float32)
+        acc_n = jax.random.normal(k2, (3,), jnp.float32)
+    else:
+        gyro_n, acc_n = noise
+    gyro = lin3.mv3(p.imu_rot_inv, s.angvel) + gyro_n * GYRO_NOISE_STD
     acc_b = rot.rotate_back(s.att, acc_world - GRAVITY)
-    acc_b = p.imu_rot_inv @ acc_b
-    acc_b = acc_b + jax.random.normal(k2, (3,), jnp.float32) * ACC_NOISE_STD
+    acc_b = lin3.mv3(p.imu_rot_inv, acc_b) + acc_n * ACC_NOISE_STD
     return gyro, acc_b

@@ -340,8 +340,9 @@ def mocap_update(s: MocapEstState, now_us, meas_pos, meas_att, dt_advance_us) ->
 
     IKH_pos = jnp.eye(2, dtype=jnp.float32) - jnp.outer(gain_pos, jnp.array([1.0, 0.0], jnp.float32))
     IKH_att = jnp.eye(2, dtype=jnp.float32) - jnp.outer(gain_att, jnp.array([1.0, 0.0], jnp.float32))
-    new_var_pos = IKH_pos @ var_pos_u
-    new_var_att = IKH_att @ var_att_u
+    # 2x2 products as broadcast-sums (tiny dot_generals go bf16 on the MXU)
+    new_var_pos = (IKH_pos[:, :, None] * var_pos_u[None, :, :]).sum(1)
+    new_var_att = (IKH_att[:, :, None] * var_att_u[None, :, :]).sum(1)
 
     # select accept vs reject branch
     pick = lambda a, r: jnp.where(reject, r, a)

@@ -13,6 +13,21 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
+def mv3(m, v):
+    """Matrix-vector product (..., N, M) @ (..., M) as a broadcast-sum.
+
+    Tiny dot_generals lower to padded bf16 MXU passes on TPU (silent value
+    truncation) and fail to lower inside Pallas kernels; the broadcast-sum
+    form stays full-f32 on the VPU and fuses. Used for every 3x3/4x3 matvec
+    on the hot tick path."""
+    return (m * v[..., None, :]).sum(-1)
+
+
+def mv3t(m, v):
+    """Transposed matvec (..., M, N)^T applied to v: m.T @ v."""
+    return (m * v[..., :, None]).sum(-2)
+
+
 def det3(m):
     """Determinant of (..., 3, 3)."""
     a, b, c = m[..., 0, 0], m[..., 0, 1], m[..., 0, 2]

@@ -135,13 +135,16 @@ def to_matrix(q):
 
 
 def rotate(q, v):
-    """Rotate v from body to world frame: R(q) @ v."""
-    return jnp.einsum("...ij,...j->...i", to_matrix(q), v)
+    """Rotate v from body to world frame: R(q) @ v.
+
+    Broadcast-sum, not einsum: tiny dot_generals lower to padded bf16 MXU
+    passes on TPU (silent truncation) and don't lower inside Pallas."""
+    return (to_matrix(q) * v[..., None, :]).sum(-1)
 
 
 def rotate_back(q, v):
     """Rotate v from world to body frame: R(q)^T @ v."""
-    return jnp.einsum("...ji,...j->...i", to_matrix(q), v)
+    return (to_matrix(q) * v[..., :, None]).sum(-2)
 
 
 def get_angle(q):

@@ -298,12 +298,13 @@ def physics_phase_a(s: EnvState, params: EnvParams, ext_force, ext_torque):
     # 3. IMU fabrication
     key, sub = jax.random.split(s.key)
     gyro_meas, acc_meas = plant_mod.imu_measurements(params.plant, new_plant, acc_imu, sub)
-    gyro_true = params.plant.imu_rot_inv @ new_plant.angvel
+    from agrifly_tpu.ops import lin3
     from agrifly_tpu.ops import rotation as rot
 
-    acc_true = params.plant.imu_rot_inv @ rot.rotate_back(
+    gyro_true = lin3.mv3(params.plant.imu_rot_inv, new_plant.angvel)
+    acc_true = lin3.mv3(params.plant.imu_rot_inv, rot.rotate_back(
         new_plant.att, acc_imu - plant_mod.GRAVITY
-    )
+    ))
     gyro_meas = gyro_true + (gyro_meas - gyro_true) * params.noise_scale
     acc_meas = acc_true + (acc_meas - acc_true) * params.noise_scale
     return dict(
