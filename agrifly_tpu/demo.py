@@ -98,6 +98,9 @@ def main(argv=None):
         waypoints=waypoints,
         land=args.land or args.traj_file is not None,
         mesh_scene=mesh_scene,
+        # the fused tick kernel is the single-vehicle latency path; fleets
+        # vmap frame_step and keep the jnp scan
+        fused_ticks=on_tpu and max(1, args.fleet) == 1 and args.record is None,
     )
     if args.record:
         # rosbag_record_airsim.sh workflow: drive the orchard loop through

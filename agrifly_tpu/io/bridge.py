@@ -237,15 +237,17 @@ class MessageRecorder:
     """rosbag_record_airsim.sh equivalent: record every published message
     to a JSONL file. With topics=None (default) it records bus-wide —
     `rosbag record -a` parity — excluding image topics exactly like the
-    script's compressed-image exclusion."""
+    script's compressed-image exclusion. Pass record_images=True to keep
+    them (byte buffers are base64-encoded in the JSONL)."""
 
-    def __init__(self, bus: TopicBus, path, topics=None, exclude=("depthImage", "rgbImage")):
+    def __init__(self, bus: TopicBus, path, topics=None,
+                 exclude=("depthImage", "rgbImage"), record_images=False):
         import json
 
         self._json = json
         self._f = open(path, "w")
         self._bus = bus
-        self._exclude = tuple(exclude)
+        self._exclude = () if record_images else tuple(exclude)
         self.count = 0
         if topics is None:
             bus.subscribe_all(self._on_any)
@@ -264,6 +266,10 @@ class MessageRecorder:
         # numpy scalars / 0-d arrays inside message tuples
         if hasattr(o, "item"):
             return o.item()
+        if isinstance(o, (bytes, bytearray)):  # image data buffers
+            import base64
+
+            return base64.b64encode(bytes(o)).decode("ascii")
         raise TypeError(f"not JSON serializable: {type(o)}")
 
     def _write(self, topic, msg):
@@ -358,14 +364,58 @@ def controller_diagnostics(est_pos, est_vel, est_att, traj_id, traj_time,
     )
 
 
+def depth_to_mm16(depth_codes, depth_scale):
+    """Renderer depth codes -> 16UC1 millimeter image (np.uint16)."""
+    codes = np.asarray(depth_codes)
+    mm = np.round(codes.astype(np.float64) * float(depth_scale) * 1000.0)
+    return np.clip(mm, 0, 65535).astype(np.uint16)
+
+
+def image_message(arr, encoding, stamp, seq=0, frame_id="camera") -> msgs.Image:
+    """Wrap a numpy image as a sensor_msgs/Image mirror.
+
+    arr: (H, W) uint16 for '16UC1' or (H, W, 3) uint8 for 'rgb8'.
+    16UC1 data is little-endian (is_bigendian=0), matching sensor_msgs.
+    """
+    arr = np.ascontiguousarray(arr)
+    if encoding == "16UC1":
+        assert arr.dtype == np.uint16 and arr.ndim == 2
+        arr = arr.astype("<u2")
+        step = arr.shape[1] * 2
+    elif encoding == "rgb8":
+        assert arr.dtype == np.uint8 and arr.ndim == 3 and arr.shape[2] == 3
+        step = arr.shape[1] * 3
+    else:
+        raise ValueError(f"unsupported encoding {encoding}")
+    return msgs.Image(
+        header=msgs.Header(stamp=stamp, frame_id=frame_id, seq=seq),
+        height=arr.shape[0], width=arr.shape[1], encoding=encoding,
+        is_bigendian=0, step=step, data=arr.tobytes(),
+    )
+
+
 class OrchardBridge:
     """Flies the orchard perception-plan-act env and publishes the RAPPIDS
     node's diagnostics topics (ExampleVehicleStateMachine.cpp:259-307
     planner_diagnostics, :666-696 controller_diagnostics) plus
     simulator_truth, one set per ~32 ms frame (the reference publishes
-    planner diagnostics per depth image at <= 30 Hz)."""
+    planner diagnostics per depth image at <= 30 Hz).
 
-    def __init__(self, params, vehicle_id=1, seed=0, bus: TopicBus | None = None):
+    Image topics (AirSimBridge/main.cpp:126-163, 195-215 parity): every
+    `image_throttle`-th frame, the depth image the planner consumed is
+    republished on `depthImage{id}` (16UC1 millimeters) and — for worlds
+    with a color pass — an RGB render on `rgbImage{id}` ('rgb8'), followed
+    by `imageReceivedFlag{id}` (a bare Header, the reference's handshake
+    flag consumed by SyncSimulator/main.cpp:401-412). `image_downsample`
+    stride-samples rows/cols before publishing. The depth frame is
+    re-rendered from the same pre-frame true pose frame_step rendered
+    from, so it is the planner's input bit-for-bit at 1/8 the bandwidth
+    of returning it through the scanned outputs."""
+
+    def __init__(self, params, vehicle_id=1, seed=0, bus: TopicBus | None = None,
+                 publish_images=True, publish_rgb=None, image_downsample=1,
+                 image_throttle=1):
+        from agrifly_tpu.render import raycast
         from agrifly_tpu.sim import orchard_env
 
         self._oe = orchard_env
@@ -375,14 +425,78 @@ class OrchardBridge:
         self.state = orchard_env.init_state(params, jax.random.PRNGKey(seed))
         self._frame = jax.jit(lambda s: orchard_env.frame_step(params, s))
         self.frame_count = 0
+        self.publish_images = bool(publish_images)
+        # RGB pass exists for the procedural world (render/raycast.render_rgb)
+        # and imported mesh worlds (render/meshscene.render_rgb)
+        self.publish_rgb = (bool(publish_rgb) if publish_rgb is not None
+                            else self.publish_images)
+        self.image_downsample = max(1, int(image_downsample))
+        self.image_throttle = max(1, int(image_throttle))
+        if self.publish_images:
+            def render_depth(s):
+                cam_att = raycast.camera_attitude(s.base.plant.att)
+                if params.mesh is not None:
+                    from agrifly_tpu.render import meshscene, pallas_meshscene
+
+                    if params.use_pallas:
+                        return pallas_meshscene.render_depth_batch(
+                            params.render_cfg, params.mesh,
+                            s.base.plant.pos[None], cam_att[None])[0]
+                    return meshscene.render_depth(
+                        params.render_cfg, params.mesh, s.base.plant.pos, cam_att)
+                if params.use_pallas:
+                    from agrifly_tpu.render import pallas_raycast
+
+                    return pallas_raycast.render_depth_batch(
+                        params.render_cfg, params.scene,
+                        s.base.plant.pos[None], cam_att[None])[0]
+                return raycast.render_depth(
+                    params.render_cfg, params.scene, s.base.plant.pos, cam_att)
+
+            self._render_depth = jax.jit(render_depth)
+
+            def render_rgb(s):
+                cam_att = raycast.camera_attitude(s.base.plant.att)
+                if params.mesh is not None:
+                    from agrifly_tpu.render import meshscene
+
+                    return meshscene.render_rgb(
+                        params.render_cfg, params.mesh, s.base.plant.pos, cam_att)
+                return raycast.render_rgb(
+                    params.render_cfg, params.scene, s.base.plant.pos, cam_att)
+
+            self._render_rgb = jax.jit(render_rgb)
 
     def fly_frames(self, n: int):
         for _ in range(n):
             self.frame()
 
+    def _publish_images(self, stamp):
+        """Render from the pre-frame pose (what frame_step will consume)."""
+        vid = self.vehicle_id
+        ds = self.image_downsample
+        depth = np.asarray(self._render_depth(self.state))[::ds, ::ds]
+        mm = depth_to_mm16(
+            depth, float(self.params.planner.cam.depth_scale))
+        self.bus.publish(
+            f"depthImage{vid}",
+            image_message(mm, "16UC1", stamp, seq=self.frame_count))
+        if self.publish_rgb:
+            rgb = np.asarray(self._render_rgb(self.state))[::ds, ::ds]
+            self.bus.publish(
+                f"rgbImage{vid}",
+                image_message(rgb.astype(np.uint8), "rgb8", stamp,
+                              seq=self.frame_count))
+        self.bus.publish(
+            f"imageReceivedFlag{vid}",
+            msgs.Header(stamp=stamp, seq=self.frame_count))
+
     def frame(self):
         from agrifly_tpu.offboard import estimators
 
+        if self.publish_images and self.frame_count % self.image_throttle == 0:
+            pre_t = int(self.state.base.step) * int(self.params.base.dt_us) * 1e-6
+            self._publish_images(pre_t)
         s, outs = self._frame(self.state)
         self.state = s
         self.frame_count += 1

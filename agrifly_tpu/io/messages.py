@@ -276,6 +276,30 @@ class Odometry:
     angular_B: Tuple[float, float, float] = (0.0, 0.0, 0.0)
 
 
+@dataclass
+class Image:
+    """sensor_msgs/Image mirror — the rendered-frame topics.
+
+    The reference's AirSim bridge republishes every rendered frame as
+    sensor_msgs/Image on `depthImage` / `rgbImage`
+    (AirSimBridge/main.cpp:126-163, 195-215); here the OrchardBridge
+    publishes the on-device renderer's frames the same way. `data` is the
+    raw row-major byte buffer (rospy accepts bytes for uint8[]).
+
+    Encodings used: '16UC1' for depth (millimeters, little-endian — a
+    higher-fidelity superset of the reference's 8-bit depth republish) and
+    'rgb8' for color.
+    """
+
+    header: Header = field(default_factory=Header)
+    height: int = 0
+    width: int = 0
+    encoding: str = ""
+    is_bigendian: int = 0
+    step: int = 0  # bytes per row
+    data: bytes = b""
+
+
 def to_dict(msg):
     """Recursively convert a message to plain python (JSON-able)."""
     return dataclasses.asdict(msg)

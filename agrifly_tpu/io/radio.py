@@ -67,25 +67,34 @@ def quantize(val, limit):
 
 
 def make_rates_command(thrust, ang_vel, flags=0):
-    """Device-side rates command: fields[0]=thrust, 1:4=angvel (RadioTypes.hpp:160-175)."""
-    fields = jnp.zeros((NUM_FIELDS,), jnp.int32)
-    fields = fields.at[0].set(encode_field(thrust, MAX_CMD_THRUST))
-    fields = fields.at[1:4].set(encode_field(ang_vel, MAX_CMD_ANG_RATES))
+    """Device-side rates command: fields[0]=thrust, 1:4=angvel (RadioTypes.hpp:160-175).
+
+    Built by concatenation, not .at[] updates — static-index scatters don't
+    lower inside the Pallas fused-tick kernel that traces this codec."""
+    fields = jnp.concatenate([
+        encode_field(thrust, MAX_CMD_THRUST).reshape(1),
+        encode_field(ang_vel, MAX_CMD_ANG_RATES).reshape(3),
+        jnp.zeros(NUM_FIELDS - 4, jnp.int32),
+    ])
     return jnp.int32(TYPE_EXTERNAL_RATES_CMD), jnp.asarray(flags, jnp.int32), fields
 
 
 def make_position_command(des_pos, des_vel, des_acc, flags=0):
-    fields = jnp.zeros((NUM_FIELDS,), jnp.int32)
-    fields = fields.at[0:3].set(encode_field(des_pos, MAX_CMD_POS))
-    fields = fields.at[3:6].set(encode_field(des_vel, MAX_CMD_VEL))
-    fields = fields.at[6:9].set(encode_field(des_acc, MAX_CMD_ACC))
+    fields = jnp.concatenate([
+        encode_field(des_pos, MAX_CMD_POS).reshape(3),
+        encode_field(des_vel, MAX_CMD_VEL).reshape(3),
+        encode_field(des_acc, MAX_CMD_ACC).reshape(3),
+        jnp.zeros(NUM_FIELDS - 9, jnp.int32),
+    ])
     return jnp.int32(TYPE_POSITION_CMD), jnp.asarray(flags, jnp.int32), fields
 
 
 def make_acceleration_command(acc, yaw_rate, flags=0):
-    fields = jnp.zeros((NUM_FIELDS,), jnp.int32)
-    fields = fields.at[0:3].set(encode_field(acc, MAX_CMD_ACC))
-    fields = fields.at[3].set(encode_field(yaw_rate, MAX_CMD_ANG_RATES))
+    fields = jnp.concatenate([
+        encode_field(acc, MAX_CMD_ACC).reshape(3),
+        encode_field(yaw_rate, MAX_CMD_ANG_RATES).reshape(1),
+        jnp.zeros(NUM_FIELDS - 4, jnp.int32),
+    ])
     return jnp.int32(TYPE_EXTERNAL_ACC_CMD), jnp.asarray(flags, jnp.int32), fields
 
 

@@ -40,6 +40,11 @@ TOPIC_TABLE: Tuple[Tuple[str, Type, str, str], ...] = (
     (r"controller_diagnostics\d*", msgs.ControllerDiagnostics, "hiperlab_rostools", "controller_diagnostics"),
     (r"/camera/t265/odom/sample", msgs.Odometry, "nav_msgs", "Odometry"),
     (r"pose_euler\d*", msgs.PoseEulerStamped, "hiperlab_hardware", "PoseEulerStamped"),
+    # rendered-frame topics + handshake flag (AirSimBridge/main.cpp:195-215)
+    (r"depthImage\d*", msgs.Image, "sensor_msgs", "Image"),
+    (r"rgbImage\d*", msgs.Image, "sensor_msgs", "Image"),
+    (r"imageReceivedFlag\d*", msgs.Header, "std_msgs", "Header"),
+    (r"imagePoll\d*", msgs.Header, "std_msgs", "Header"),
 )
 
 # mirrors that only appear nested inside other messages
@@ -151,7 +156,8 @@ def _import_ros():
         import importlib
 
         pkgs = {}
-        for pkg in ("hiperlab_rostools.msg", "hiperlab_hardware.msg", "nav_msgs.msg"):
+        for pkg in ("hiperlab_rostools.msg", "hiperlab_hardware.msg",
+                    "nav_msgs.msg", "sensor_msgs.msg", "std_msgs.msg"):
             pkgs[pkg.split(".")[0]] = importlib.import_module(pkg)
         return rospy, pkgs
     except Exception:
@@ -167,7 +173,7 @@ class RosAdapter:
     with copy_from_ros and publish onto the bus.
     """
 
-    INBOUND = (r"radio_command\d+", r"joystick_values")
+    INBOUND = (r"radio_command\d+", r"joystick_values", r"imagePoll\d*")
 
     def __init__(self, bus, vehicle_ids=(1,), node_name="agrifly_tpu_sim",
                  queue_size=1):

@@ -14,6 +14,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from agrifly_tpu.ops import rotation as rot
+from agrifly_tpu.ops import trig
 
 E3 = jnp.array([0.0, 0.0, 1.0], jnp.float32)
 
@@ -44,8 +45,8 @@ def attitude_control(tc_xy, tc_z, des_att, est_att):
 
     e_b = rot.rotate_back(err_att, E3)  # errAtt^-1 * e3
     red_ax = jnp.cross(e_b, E3)
-    red_cos = jnp.clip(jnp.dot(e_b, E3), -1.0, 1.0)
-    red_angle = jnp.arccos(red_cos)
+    red_cos = jnp.clip((e_b * E3).sum(-1), -1.0, 1.0)
+    red_angle = trig.acos(red_cos)
 
     n = jnp.linalg.norm(red_ax)
     safe_n = jnp.where(n < 1e-12, 1.0, n)
@@ -67,8 +68,8 @@ def angvel_control(tc_xy, tc_z, inertia, des_angvel, est_angvel):
 
 def thrust_dir_to_attitude(thrust_dir):
     """Smallest rotation taking e3 to thrust_dir (shared construction)."""
-    cos_angle = jnp.clip(jnp.dot(thrust_dir, E3), -1.0, 1.0)
-    angle = jnp.arccos(cos_angle)
+    cos_angle = jnp.clip((thrust_dir * E3).sum(-1), -1.0, 1.0)
+    angle = trig.acos(cos_angle)
     ax = jnp.cross(E3, thrust_dir)
     n = jnp.linalg.norm(ax)
     small = n < 1e-6

@@ -24,6 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from agrifly_tpu.ops import rotation as rot
+from agrifly_tpu.ops import trig
 
 TIME_CONST_ATT_CORR = 4.0  # [s]
 
@@ -146,8 +147,8 @@ def _gravity_align_correction(att, meas_acc, gain=1.0):
     n = jnp.linalg.norm(ax)
     ax = jnp.where(n > 1e-6, ax / jnp.where(n > 1e-6, n, 1.0),
                    jnp.array([1.0, 0.0, 0.0], att.dtype))
-    cos_err = jnp.clip(jnp.dot(exp_acc, acc_unit), -1.0, 1.0)
-    angle = jnp.arccos(cos_err)
+    cos_err = jnp.clip((exp_acc * acc_unit).sum(-1), -1.0, 1.0)
+    angle = trig.acos(cos_err)
     return rot.qmul(att, rot.from_axis_angle(ax, gain * angle))
 
 

@@ -461,7 +461,8 @@ def logic_step(p: LogicParams, s: LogicState, u: LogicInputs):
     panic_reason = jnp.where(go_panic, unsafe, panic_reason)
     fs = jnp.where(go_panic, FS_PANIC, fs)
 
-    debug = s.debug.at[0].set(filters.lp2_value(temp_lp))
+    # one-hot write (static .at[] scatters don't lower inside Pallas)
+    debug = jnp.where(jnp.arange(6) == 0, filters.lp2_value(temp_lp), s.debug)
 
     # ---------------- controllers ----------------
     est_pos, est_vel, est_att, est_angvel = kf.pos, kf.vel, kf.att, kf.angvel
@@ -495,7 +496,7 @@ def logic_step(p: LogicParams, s: LogicState, u: LogicInputs):
     _, pitch, roll = rot.to_euler_ypr(est_att)
     att_no_yaw = rot.from_euler_ypr(jnp.float32(0.0), pitch, roll)
     angvel2 = controllers.attitude_control(p.att_tc_xy, p.att_tc_z, des_att2, att_no_yaw)
-    angvel2 = angvel2.at[2].set(yaw_rate)
+    angvel2 = jnp.where(jnp.arange(3) == 2, yaw_rate, angvel2)
     torque2 = controllers.angvel_control(
         p.angvel_tc_xy, p.angvel_tc_z, p.inertia, angvel2, est_angvel
     )

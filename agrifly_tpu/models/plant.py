@@ -32,6 +32,8 @@ from agrifly_tpu.ops import lin3
 from agrifly_tpu.ops import rotation as rot
 
 GRAVITY = jnp.array([0.0, 0.0, -9.81], jnp.float32)
+E3 = jnp.array([0.0, 0.0, 1.0], jnp.float32)
+EZ_MASK = jnp.array([False, False, True])
 ACC_NOISE_STD = 0.2  # [m/s^2]
 GYRO_NOISE_STD = 0.1  # [rad/s]
 
@@ -124,13 +126,16 @@ def step(p: PlantParams, s: PlantState, motor_cmds, ext_force, ext_torque, dt):
 
     w_abs_w = new_speeds * jnp.abs(new_speeds)  # (4,)
     thrusts = p.kf * w_abs_w  # (4,) along +z body
-    forces_b = jnp.zeros((4, 3), jnp.float32).at[:, 2].set(thrusts)
+    # stack/where forms, not .at[] updates: static-index scatters don't
+    # lower inside Pallas (the fused tick kernel traces this code)
+    z4 = jnp.zeros_like(thrusts)
+    forces_b = jnp.stack([z4, z4, thrusts], axis=-1)  # (4,3)
 
     # torque: aero drag, thrust moment, rotor acceleration reaction
     tz_aero = -p.kt_sqr * w_abs_w * MOTOR_SPIN_SIGNS
     tz_react = -dspeed * p.motor_inertia * MOTOR_SPIN_SIGNS
     torque_b = jnp.cross(p.motor_positions, forces_b)  # (4,3)
-    torque_b = torque_b.at[:, 2].add(tz_aero + tz_react)
+    torque_b = torque_b + jnp.stack([z4, z4, tz_aero + tz_react], axis=-1)
 
     total_force_b = forces_b.sum(axis=0)
     total_torque_b = torque_b.sum(axis=0)
@@ -142,7 +147,7 @@ def step(p: PlantParams, s: PlantState, motor_cmds, ext_force, ext_torque, dt):
     total_torque_b = total_torque_b + rot.rotate_back(s.att, ext_torque)
 
     ang_mom = lin3.mv3(p.inertia, s.angvel)
-    ang_mom = ang_mom.at[2].add(h_motor_z)
+    ang_mom = ang_mom + h_motor_z * E3
     ang_acc = lin3.mv3(p.inertia_inv, total_torque_b - jnp.cross(s.angvel, ang_mom))
 
     vel_b = rot.rotate_back(s.att, s.vel)
@@ -155,11 +160,12 @@ def step(p: PlantParams, s: PlantState, motor_cmds, ext_force, ext_torque, dt):
     new_att = rot.qmul(s.att, rot.from_rotation_vector(s.angvel * dt))
     new_angvel = s.angvel + ang_acc * dt
 
-    # ground contact
+    # ground contact (z-masked where, not .at[2]: see stack/where note above)
     grounded = (new_pos[2] <= 0.0) & (new_vel[2] < 0.0)
-    new_pos = new_pos.at[2].set(jnp.where(grounded, 0.0, new_pos[2]))
-    new_vel = new_vel.at[2].set(jnp.where(grounded, 0.0, new_vel[2]))
-    acc_imu = acc.at[2].set(jnp.where(grounded, 0.0, acc[2]))
+    zero_z = grounded & EZ_MASK
+    new_pos = jnp.where(zero_z, 0.0, new_pos)
+    new_vel = jnp.where(zero_z, 0.0, new_vel)
+    acc_imu = jnp.where(zero_z, 0.0, acc)
     new_angvel = jnp.where(grounded, jnp.zeros_like(new_angvel), new_angvel)
 
     new_state = PlantState(

@@ -60,11 +60,13 @@ def run(p: OffboardCtrlParams, cur_pos, cur_vel, cur_att, des_pos,
 
     norm = jnp.linalg.norm(proper)
     proper = jnp.where(norm > p.max_proper_acc, proper * (p.max_proper_acc / norm), proper)
-    proper = proper.at[2].set(jnp.maximum(proper[2], p.min_vertical_proper_acc))
+    # z-masked where, not .at[2] (static scatters don't lower inside Pallas)
+    proper = jnp.where(jnp.arange(3) == 2,
+                       jnp.maximum(proper[2], p.min_vertical_proper_acc), proper)
 
     norm = jnp.linalg.norm(proper)
     thrust_dir = proper / jnp.where(norm < 1e-12, 1.0, norm)
-    cmd_thrust = norm * jnp.dot(rot.rotate(cur_att, E3), thrust_dir)
+    cmd_thrust = norm * (rot.rotate(cur_att, E3) * thrust_dir).sum(-1)
     cmd_thrust = jnp.maximum(cmd_thrust, p.min_proper_acc)
 
     cmd_att = controllers.thrust_dir_to_attitude(thrust_dir)
@@ -80,7 +82,7 @@ def run_tracking(p: OffboardCtrlParams, cur_pos, cur_vel, cur_att,
     acc_err = controllers.position_control(
         p.pos_nat_freq, p.pos_damping, cur_pos, cur_vel, ref_pos, ref_vel
     )
-    cmd_thrust = ref_thrust + jnp.dot(acc_err, rot.rotate(cur_att, E3))
+    cmd_thrust = ref_thrust + (acc_err * rot.rotate(cur_att, E3)).sum(-1)
 
     total = ref_acc + acc_err + jnp.array([0.0, 0.0, 9.81], jnp.float32)
     norm = jnp.linalg.norm(total)

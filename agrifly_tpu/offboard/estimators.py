@@ -27,8 +27,36 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+import contextlib
+
 from agrifly_tpu.ops import lin3
 from agrifly_tpu.ops import rotation as rot
+
+# Trace-time flag: statically unroll the 8-slot replay sweeps instead of
+# lax.scan. Bitwise-identical (same op sequence); used when tracing inside
+# the Pallas fused-tick kernel where scan-with-xs does not lower. The jnp
+# path keeps scan(unroll=2) — full unroll explodes CPU test compile time.
+_REPLAY_STATIC_UNROLL = False
+
+
+@contextlib.contextmanager
+def replay_static_unroll():
+    global _REPLAY_STATIC_UNROLL
+    prev = _REPLAY_STATIC_UNROLL
+    _REPLAY_STATIC_UNROLL = True
+    try:
+        yield
+    finally:
+        _REPLAY_STATIC_UNROLL = prev
+
+
+def _sweep(seg, carry, xs):
+    """scan(seg, carry, xs) with an optional static unroll (same op order)."""
+    if _REPLAY_STATIC_UNROLL:
+        for i in range(xs[0].shape[0]):
+            carry, _ = seg(carry, tuple(x[i] for x in xs))
+        return carry, None
+    return jax.lax.scan(seg, carry, xs, unroll=2)
 
 # Steady-state pipe occupancy is ~(delay + horizon) * cmd_rate ~ 5 entries
 # (clears run on every measurement update; push evicts the oldest when
@@ -245,7 +273,7 @@ def _replay(s: MocapEstState, t0_us, t1_us, update_variance):
         return (t, pos, vel, att, angvel, (cur_acc, cur_angvel, cur_ball), vp, va), None
 
     carry = (t, pos, vel, att, angvel, (cur_acc, cur_angvel, cur_ball), vp, va)
-    carry, _ = jax.lax.scan(seg, carry, (act, accs, angvels, balls), unroll=2)
+    carry, _ = _sweep(seg, carry, (act, accs, angvels, balls))
     t, pos, vel, att, angvel, cur, vp, va = carry
     cur_acc, cur_angvel, cur_ball = cur
 
@@ -574,7 +602,7 @@ def _gps_replay(s: GpsEstState, t0_us, t1_us, update_cov):
 
     carry = (jnp.maximum(t0_us, 0).astype(jnp.int32), s.pos, s.vel, s.att, s.angvel,
              cur, s.cov, s.last_att_corr)
-    carry, _ = jax.lax.scan(seg, carry, (act, accs, angvels, balls), unroll=2)
+    carry, _ = _sweep(seg, carry, (act, accs, angvels, balls))
     t, pos, vel, att, angvel, cur, cov, lac = carry
     cur_acc, cur_angvel, cur_ball = cur
     dt = jnp.maximum(t1_us - t, 0).astype(jnp.float32) * 1e-6

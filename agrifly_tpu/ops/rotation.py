@@ -16,6 +16,8 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from agrifly_tpu.ops import trig
+
 MIN_ANGLE = 4.84813681e-6  # less than one arc second
 
 
@@ -92,9 +94,11 @@ def from_euler_ypr(y, p, r):
 def to_euler_ypr(q):
     """Returns (yaw, pitch, roll), Rotation.hpp:166-176."""
     w, x, y, z = jnp.moveaxis(q, -1, 0)
-    yaw = jnp.arctan2(2 * x * y + 2 * w * z, x * x + w * w - z * z - y * y)
-    pitch = -jnp.arcsin(jnp.clip(2 * x * z - 2 * w * y, -1.0, 1.0))
-    roll = jnp.arctan2(2 * y * z + 2 * w * x, z * z - y * y - x * x + w * w)
+    # ops/trig polynomials, not jnp arc*: Mosaic has no inverse-trig
+    # lowering and the fused tick kernel traces this (bit-parity both paths)
+    yaw = trig.atan2(2 * x * y + 2 * w * z, x * x + w * w - z * z - y * y)
+    pitch = -trig.asin(jnp.clip(2 * x * z - 2 * w * y, -1.0, 1.0))
+    roll = trig.atan2(2 * y * z + 2 * w * x, z * z - y * y - x * x + w * w)
     return yaw, pitch, roll
 
 
@@ -118,7 +122,7 @@ def to_rotation_vector(q):
     """Log map via asin of the vector-part norm (Rotation.hpp:144-153)."""
     n = to_vector_part(q)
     norm = jnp.linalg.norm(n, axis=-1, keepdims=True)
-    angle = jnp.arcsin(jnp.clip(norm, 0.0, 1.0)) * 2.0
+    angle = trig.asin(jnp.clip(norm, 0.0, 1.0)) * 2.0
     small = angle < MIN_ANGLE
     safe_norm = jnp.where(small, jnp.ones_like(norm), norm)
     return jnp.where(small, jnp.zeros_like(n), n * (angle / safe_norm))
@@ -149,4 +153,4 @@ def rotate_back(q, v):
 
 def get_angle(q):
     """Total rotation angle, 2*acos(|w|) (Rotation.hpp:138-142)."""
-    return 2.0 * jnp.arccos(jnp.clip(jnp.abs(q[..., 0]), 0.0, 1.0))
+    return 2.0 * trig.acos(jnp.clip(jnp.abs(q[..., 0]), 0.0, 1.0))

@@ -26,6 +26,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from agrifly_tpu.ops import trig  # noqa: F401 (omega acos)
 from agrifly_tpu.ops import rootfind
 
 # feasibility verdict codes (RapidTrajectoryGenerator.hpp:74-86)
@@ -156,7 +157,7 @@ def omega(tr: Traj, t, dt, grav):
     nrm = jnp.linalg.norm(cr, axis=-1, keepdims=True)
     ok = nrm[..., 0] > 1e-6
     unit = cr / jnp.where(nrm < 1e-12, 1.0, nrm)
-    angle = jnp.arccos(jnp.clip((n0 * n1).sum(-1), -1.0, 1.0)) / dt
+    angle = trig.acos(jnp.clip((n0 * n1).sum(-1), -1.0, 1.0)) / dt
     return jnp.where(ok[..., None], unit * angle[..., None], jnp.zeros_like(cr))
 
 

@@ -278,10 +278,16 @@ def rollout_fast(params: EnvParams, state: EnvState, cmd: Command,
     return state, traj
 
 
-def physics_phase_a(s: EnvState, params: EnvParams, ext_force, ext_torque):
+def physics_phase_a(s: EnvState, params: EnvParams, ext_force, ext_torque,
+                    noise=None):
     """Phase A of one tick: radio delivery, plant integration, IMU
     fabrication. Split out so fleet envs can run a *shared* UWB network
-    between the plants moving and the onboard logics consuming ranges."""
+    between the plants moving and the onboard logics consuming ranges.
+
+    noise: optional pre-drawn unit normals (gyro_n, acc_n) for the IMU —
+    when given, no key is consumed (the orchard frame pre-draws a whole
+    frame's noise in one batched call; also keeps RNG out of the Pallas
+    fused-tick kernel)."""
     dt = params.dt_us.astype(jnp.float32) * 1e-6
 
     # 1. radio delivery (pushed >delay ago becomes visible to the logic now)
@@ -296,8 +302,14 @@ def physics_phase_a(s: EnvState, params: EnvParams, ext_force, ext_torque):
     )
 
     # 3. IMU fabrication
-    key, sub = jax.random.split(s.key)
-    gyro_meas, acc_meas = plant_mod.imu_measurements(params.plant, new_plant, acc_imu, sub)
+    if noise is None:
+        key, sub = jax.random.split(s.key)
+        gyro_meas, acc_meas = plant_mod.imu_measurements(
+            params.plant, new_plant, acc_imu, sub)
+    else:
+        key = s.key
+        gyro_meas, acc_meas = plant_mod.imu_measurements(
+            params.plant, new_plant, acc_imu, noise=noise)
     from agrifly_tpu.ops import lin3
     from agrifly_tpu.ops import rotation as rot
 
@@ -316,7 +328,7 @@ def physics_phase_a(s: EnvState, params: EnvParams, ext_force, ext_torque):
 
 def physics_tick(s: EnvState, params: EnvParams, ext_force, ext_torque,
                  use_estimator: bool, uwb_override=None, phase_a=None,
-                 static_mocap_fire=None, static_gps_fire=None):
+                 static_mocap_fire=None, static_gps_fire=None, noise=None):
     """Steps 1-5a of one tick: radio delivery, plant, IMU, UWB, onboard
     logic, mocap estimator update. Shared by env.step and the orchard env
     (which replaces the offboard block with trajectory tracking).
@@ -332,7 +344,8 @@ def physics_tick(s: EnvState, params: EnvParams, ext_force, ext_torque,
     (rollout_fast). None keeps the traced accumulator decision.
     Returns a dict with the partial new state + estimator output.
     """
-    a = phase_a if phase_a is not None else physics_phase_a(s, params, ext_force, ext_torque)
+    a = phase_a if phase_a is not None else physics_phase_a(
+        s, params, ext_force, ext_torque, noise=noise)
     ring = a["ring"]
     delivered, mtype, mflags, mfields = a["delivered"], a["mtype"], a["mflags"], a["mfields"]
     new_plant = a["plant"]
@@ -361,7 +374,7 @@ def physics_tick(s: EnvState, params: EnvParams, ext_force, ext_torque,
         my_target = jnp.where(
             has_targets, params.logic.target_ids[s.logic.next_target_idx], 0
         )
-        next_ids = jnp.zeros(n_radios, jnp.int32).at[0].set(my_target)
+        next_ids = jnp.where(jnp.arange(n_radios) == 0, my_target, 0)
         uwb_state, meas = uwb_mod.step(
             params.uwb, uwb_state, positions, next_ids, params.dt_us
         )

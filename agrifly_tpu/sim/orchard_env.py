@@ -59,6 +59,8 @@ class OrchardEnvParams(NamedTuple):
     land: bool  # static: descend + settle after the last waypoint
     mesh: object = None  # Optional[meshscene.MeshScene]: explicit imported
     # world (Helios-export etc.); None = procedural hashed orchard
+    fused_ticks: bool = False  # static: run the 16-tick loop as one Pallas
+    # kernel (B=1 TPU path; the vmapped fleet path keeps the jnp scan)
 
 
 class PlannedTraj(NamedTuple):
@@ -121,6 +123,7 @@ def make_params(
     waypoints=None,
     land=False,
     mesh_scene=None,
+    fused_ticks=None,
 ) -> OrchardEnvParams:
     """waypoints: optional sequence of (x, y, z) goals flown in order with
     the reference's 1 m switching radius (trajectory.txt missions,
@@ -169,6 +172,9 @@ def make_params(
         track_lookahead=jnp.float32(0.04),
         land=bool(land),
         mesh=mesh_scene,
+        # fused tick kernel defaults to the TPU path (single vehicle);
+        # callers that vmap frame_step (fleets) should pass False
+        fused_ticks=bool(use_pallas) if fused_ticks is None else bool(fused_ticks),
     )
 
 
@@ -206,11 +212,13 @@ def _tracking_refs(params: OrchardEnvParams, pl: PlannedTraj, step):
     vel_c = jnp.where(running, traj_mod.velocity(tr, t_eval), jnp.zeros(3, jnp.float32))
     acc_c = jnp.where(running, traj_mod.acceleration(tr, t_eval), jnp.zeros(3, jnp.float32))
 
-    # disallow going backwards through the camera plane (main.cpp:578-597)
+    # disallow going backwards through the camera plane (main.cpp:578-597);
+    # z-masked wheres, not .at[2] (scatters don't lower inside Pallas)
+    ez = jnp.arange(3) == 2
     z_neg = pos_c[2] < 0
-    pos_c = pos_c.at[2].set(jnp.where(z_neg, 0.0, pos_c[2]))
-    vel_c = vel_c.at[2].set(jnp.where(z_neg & (vel_c[2] < 0), 0.0, vel_c[2]))
-    acc_c = acc_c.at[2].set(jnp.where(z_neg & (acc_c[2] < 0), 0.0, acc_c[2]))
+    pos_c = jnp.where(ez & z_neg, 0.0, pos_c)
+    vel_c = jnp.where(ez & (z_neg & (vel_c[2] < 0)), 0.0, vel_c)
+    acc_c = jnp.where(ez & (z_neg & (acc_c[2] < 0)), 0.0, acc_c)
 
     R = rot.to_matrix(pl.att)
     ref_pos = R @ pos_c + pl.offset
@@ -223,13 +231,19 @@ def _tracking_refs(params: OrchardEnvParams, pl: PlannedTraj, step):
     return ref_pos, ref_vel, ref_acc, ref_thrust, ref_angvel_world
 
 
-def _sim_tick(params: OrchardEnvParams, s: OrchardEnvState) -> OrchardEnvState:
-    """One 2 ms tick with tracking/takeoff offboard control."""
+def _sim_tick(params: OrchardEnvParams, s: OrchardEnvState,
+              noise=None) -> OrchardEnvState:
+    """One 2 ms tick with tracking/takeoff offboard control.
+
+    noise: optional (2, 3) pre-drawn unit normals (gyro, acc) for this
+    tick's IMU — see frame_step, which draws the whole frame at once."""
     base = s.base
     p = params.base
     z3 = jnp.zeros(3, jnp.float32)
 
-    half = env_mod.physics_tick(base, p, z3, z3, use_estimator=True)
+    half = env_mod.physics_tick(
+        base, p, z3, z3, use_estimator=True,
+        noise=None if noise is None else (noise[0], noise[1]))
     est_pos, est_vel, est_att, est_angvel = half["est"]
 
     # offboard loop cadence
@@ -308,6 +322,27 @@ def _sim_tick(params: OrchardEnvParams, s: OrchardEnvState) -> OrchardEnvState:
     return s._replace(base=new_base, mstage=mstage)
 
 
+def frame_ticks_jnp(params: OrchardEnvParams, s: OrchardEnvState, noise):
+    """The 16-tick physics/tracking loop as a jnp scan (reference path)."""
+
+    def body(carry, n):
+        return _sim_tick(params, carry, n), None
+
+    s, _ = jax.lax.scan(body, s, noise)
+    return s
+
+
+def frame_ticks(params: OrchardEnvParams, s: OrchardEnvState, noise):
+    """Tick-loop dispatch: one fused Pallas kernel on TPU (a B=1 frame is
+    launch-latency bound at ~320 fusions/tick in the scanned jnp form —
+    9.3 ms of an 11.4 ms frame), jnp scan elsewhere."""
+    if params.fused_ticks:
+        from agrifly_tpu.sim import pallas_frame
+
+        return pallas_frame.frame_ticks(params, s, noise)
+    return frame_ticks_jnp(params, s, noise)
+
+
 def frame_step(params: OrchardEnvParams, s: OrchardEnvState):
     """One 33 ms frame: render -> plan -> 16 tracked physics ticks.
 
@@ -382,7 +417,7 @@ def frame_step(params: OrchardEnvParams, s: OrchardEnvState):
     goal_world = (params.waypoints * (wp_iota == waypoint_idx)[:, None]).sum(0)
     goal_cam = R_wc.T @ (goal_world - est_pos)
 
-    key, sub = jax.random.split(base.key)
+    key, sub, k_noise = jax.random.split(base.key, 3)
     res = rappids.plan(
         params.planner, depth, sub, vel_cam, acc_cam, grav_cam, goal_cam,
         n_candidates=params.n_candidates,
@@ -419,11 +454,12 @@ def frame_step(params: OrchardEnvParams, s: OrchardEnvState):
         land_start_step=land_start_step,
     )
 
-    # 3. physics ticks
-    def body(carry, _):
-        return _sim_tick(params, carry), None
-
-    s, _ = jax.lax.scan(body, s, None, length=params.steps_per_frame)
+    # 3. physics ticks — IMU noise for the whole frame drawn in one batched
+    # call (16 sequential threefry chains cost ~30 fused kernels; one
+    # (16,2,3) draw costs ~3), then the fused tick loop
+    noise = jax.random.normal(
+        k_noise, (params.steps_per_frame, 2, 3), jnp.float32)
+    s = frame_ticks(params, s, noise)
 
     outputs = dict(
         pos=s.base.plant.pos, vel=s.base.plant.vel, att=s.base.plant.att,

@@ -1,0 +1,169 @@
+"""Fused 16-tick orchard frame as ONE Pallas TPU kernel.
+
+The single-vehicle perception-plan-act frame (Rappids_Simulator/main.cpp:
+330-760 demo loop) is latency-bound at B=1: the scanned jnp tick chain
+compiles to ~320 tiny fusion kernels per 2 ms tick (~1.8 us launch latency
+each on a v5e), so the 16-tick block costs 9.3 ms of an 11.4 ms frame while
+doing microseconds of actual arithmetic. This module runs the whole tick
+block — radio delay ring, plant integration, IMU fabrication, the complete
+onboard logic (EKF, controllers, mixer), the mocap estimator with its
+prediction-pipe replay, and the offboard tracking controller — inside one
+`pl.pallas_call`, eliminating the per-op dispatch entirely.
+
+Design: the kernel *reuses the exact jnp tick code*. The 16-tick loop
+(`orchard_env._sim_tick` under `lax.fori_loop`) is traced once to a closed
+jaxpr with the estimator's 8-slot replay sweeps statically unrolled
+(`estimators.replay_static_unroll` — bitwise-identical op order) and IMU
+noise pre-drawn outside as a (16, 2, 3) normal block (no threefry in the
+kernel). The jaxpr's array constants (gravity vectors, mixer signs, baked
+vehicle parameters, ...) become extra kernel inputs — Pallas forbids
+captured array constants — and the kernel body just `eval_jaxpr`s the very
+same computation on ref-loaded values. The tick path is pure elementwise /
+one-hot VPU math by construction (no gathers, no tiny dot_generals; see
+ops/lin3.mv3 and the delayline/pipe one-hot design), so it lowers through
+Mosaic unchanged.
+
+Parity: tests/test_pallas_frame.py runs this kernel in interpret mode on
+CPU against `orchard_env.frame_ticks_jnp` — bit-exact state equality.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _canon_shape(shape):
+    """Canonical >=2-D VMEM shape for a leaf."""
+    if len(shape) == 0:
+        return (1, 1)
+    if len(shape) == 1:
+        return (1, shape[0])
+    return tuple(shape)
+
+
+def _io_dtype(dtype):
+    """bool rides as int32 (i1 VMEM I/O is unreliable in Mosaic)."""
+    return jnp.dtype(jnp.int32) if jnp.dtype(dtype) == jnp.bool_ else jnp.dtype(dtype)
+
+
+def _pack(x):
+    x = jnp.asarray(x)
+    if x.dtype == jnp.bool_:
+        x = x.astype(jnp.int32)
+    return x.reshape(_canon_shape(x.shape))
+
+
+def _load(ref, shape, dtype):
+    v = ref[...]
+    # index/reshape BEFORE the bool cast: Mosaic can't squeeze i1 scalars
+    if len(shape) == 0:
+        v = v[0, 0]
+    elif len(shape) == 1:
+        v = v[0, :]
+    if jnp.dtype(dtype) == jnp.bool_:
+        v = v != 0
+    return v
+
+
+def _unpack(x, shape, dtype):
+    if jnp.dtype(dtype) == jnp.bool_:
+        x = x.astype(jnp.bool_)
+    return x.reshape(shape)
+
+
+# (params identity, treedef, leaf avals, n_ticks, interpret) -> callable
+_CACHE = {}
+
+
+def _get_call(params, treedef, specs, n_ticks, interpret):
+    key = (id(params), treedef, specs, n_ticks, interpret)
+    hit = _CACHE.get(key)
+    if hit is not None:
+        return hit
+
+    from agrifly_tpu.offboard import estimators
+    from agrifly_tpu.sim import orchard_env
+
+    def loop(leaves, noise):
+        s = jax.tree_util.tree_unflatten(treedef, leaves)
+
+        def body(i, s):
+            # one-hot row select (gather-free; exact: single nonzero term)
+            sel = jax.lax.broadcasted_iota(
+                jnp.int32, (n_ticks, 1), 0)[:, 0] == i
+            n_i = jnp.where(sel[:, None], noise, 0.0).sum(0)  # (6,)
+            return orchard_env._sim_tick(
+                params, s, jnp.stack([n_i[0:3], n_i[3:6]]))
+
+        s = jax.lax.fori_loop(0, n_ticks, body, s)
+        return jax.tree_util.tree_leaves(s)
+
+    leaf_avals = [jax.ShapeDtypeStruct(sh, dt) for sh, dt in specs]
+    noise_aval = jax.ShapeDtypeStruct((n_ticks, 6), jnp.float32)
+    with estimators.replay_static_unroll():
+        closed = jax.make_jaxpr(loop)(leaf_avals, noise_aval)
+    consts = [np.asarray(c) for c in closed.consts]
+    const_specs = tuple((tuple(c.shape), jnp.dtype(c.dtype)) for c in consts)
+
+    def kernel(*refs):
+        nc, nl = len(consts), len(specs)
+        const_refs = refs[:nc]
+        noise_ref = refs[nc]
+        in_refs = refs[nc + 1:nc + 1 + nl]
+        out_refs = refs[nc + 1 + nl:]
+        const_vals = [
+            _load(r, sh, dt) for r, (sh, dt) in zip(const_refs, const_specs)
+        ]
+        leaves = [_load(r, sh, dt) for r, (sh, dt) in zip(in_refs, specs)]
+        noise = noise_ref[...]
+        outs = jax.core.eval_jaxpr(
+            closed.jaxpr, const_vals, *leaves, noise)
+        for r, v, (sh, dt) in zip(out_refs, outs, specs):
+            out = jnp.asarray(v)
+            if jnp.dtype(dt) == jnp.bool_:
+                out = out.astype(jnp.int32)
+            r[...] = out.reshape(_canon_shape(sh))
+
+    out_shapes = [
+        jax.ShapeDtypeStruct(_canon_shape(sh), _io_dtype(dt))
+        for sh, dt in specs
+    ]
+    n_inputs = len(consts) + 1 + len(specs)
+    call_ = pl.pallas_call(
+        kernel,
+        out_shape=out_shapes,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * n_inputs,
+        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * len(specs),
+        interpret=interpret,
+    )
+    packed_consts = [_pack(c) for c in consts]
+
+    def call(packed_leaves, noise2):
+        return call_(*packed_consts, noise2, *packed_leaves)
+
+    _CACHE[key] = call
+    return call
+
+
+def frame_ticks(params, state, noise, interpret=False):
+    """Run the frame's tick block as one kernel launch.
+
+    params: OrchardEnvParams (arrays bake into the traced jaxpr's consts,
+    shipped to the kernel as inputs). state: OrchardEnvState (single
+    vehicle, unbatched). noise: (n_ticks, 2, 3) pre-drawn unit normals
+    (gyro, acc) matching frame_step's batched draw.
+    """
+    n_ticks = int(noise.shape[0])
+    leaves, treedef = jax.tree_util.tree_flatten(state)
+    specs = tuple((tuple(np.shape(l)), jnp.dtype(l.dtype)) for l in leaves)
+    call = _get_call(params, treedef, specs, n_ticks, bool(interpret))
+
+    packed = [_pack(l) for l in leaves]
+    noise2 = jnp.asarray(noise, jnp.float32).reshape(n_ticks, 6)
+    out = call(packed, noise2)
+    new_leaves = [_unpack(o, sh, dt) for o, (sh, dt) in zip(out, specs)]
+    return jax.tree_util.tree_unflatten(treedef, new_leaves)

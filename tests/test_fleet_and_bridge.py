@@ -200,7 +200,8 @@ def test_orchard_bridge_diagnostics_and_recorder(tmp_path):
     bus = bridge.TopicBus()
     path = tmp_path / "bag.jsonl"
     rec = bridge.MessageRecorder(bus, str(path))
-    ob = bridge.OrchardBridge(params, vehicle_id=3, bus=bus)
+    ob = bridge.OrchardBridge(params, vehicle_id=3, bus=bus,
+                              publish_images=False)
     n_frames = 31  # ~1 s of sim time at 31.25 Hz frames
     ob.fly_frames(n_frames)
 
@@ -219,6 +220,70 @@ def test_orchard_bridge_diagnostics_and_recorder(tmp_path):
     cds = [l["msg"] for l in lines if l["topic"] == "controller_diagnostics3"]
     assert "thrust_command_B" in cds[-1]["output"]
     assert "position_estimate_W" in cds[-1]["input"]
+
+
+def test_orchard_bridge_image_topics(tmp_path):
+    """depthImage/rgbImage publication at the frame cadence with correct
+    encodings (AirSimBridge/main.cpp:126-163 topic parity), the
+    imageReceivedFlag handshake, recorder opt-in capture, and the
+    downsample/throttle knobs."""
+    import base64
+    import json
+
+    from agrifly_tpu.io import bridge
+    from agrifly_tpu.sim import orchard_env
+
+    params = orchard_env.make_params(
+        goal_world=(60.0, 0.0, 2.0), takeoff_height=2.0,
+        start_flight_time=1.0, n_candidates=48, pyramid_capacity=8,
+        use_pallas=False, width=160, height=120,
+    )
+    bus = bridge.TopicBus()
+    got = {}
+    bus.subscribe("depthImage3", lambda m: got.setdefault("depth", m))
+    bus.subscribe("rgbImage3", lambda m: got.setdefault("rgb", m))
+    path = tmp_path / "bag_img.jsonl"
+    rec = bridge.MessageRecorder(bus, str(path), record_images=True)
+    ob = bridge.OrchardBridge(params, vehicle_id=3, bus=bus)
+    n_frames = 8
+    ob.fly_frames(n_frames)
+    rec.close()
+
+    # frame cadence: one image set per 32 ms frame (31.25 Hz ~ 30 Hz band)
+    assert bus.counts["depthImage3"] == n_frames
+    assert bus.counts["rgbImage3"] == n_frames
+    assert bus.counts["imageReceivedFlag3"] == n_frames
+    sim_dt = params.steps_per_frame * float(params.base.dt_us) * 1e-6
+    assert 25.0 <= 1.0 / sim_dt <= 35.0
+
+    # encodings and layout
+    d = got["depth"]
+    assert (d.encoding, d.height, d.width, d.step) == ("16UC1", 120, 160, 320)
+    depth_mm = np.frombuffer(d.data, "<u2").reshape(120, 160)
+    # pre-takeoff camera on the ground: some pixels at/near the far plane
+    far_mm = round(255 * float(params.planner.cam.depth_scale) * 1000)
+    assert depth_mm.max() == far_mm
+    r = got["rgb"]
+    assert (r.encoding, r.height, r.width, r.step) == ("rgb8", 120, 160, 480)
+    assert len(r.data) == 120 * 160 * 3
+
+    # recorder captured the image topics (base64 data round-trips)
+    lines = [json.loads(l) for l in open(path)]
+    imgs = [l for l in lines if l["topic"] == "depthImage3"]
+    assert len(imgs) == n_frames
+    assert base64.b64decode(imgs[0]["msg"]["data"]) == got["depth"].data
+
+    # throttle + downsample knobs
+    bus2 = bridge.TopicBus()
+    ob2 = bridge.OrchardBridge(params, vehicle_id=3, bus=bus2,
+                               image_downsample=2, image_throttle=4,
+                               publish_rgb=False)
+    small = {}
+    bus2.subscribe("depthImage3", lambda m: small.setdefault("d", m))
+    ob2.fly_frames(8)
+    assert bus2.counts["depthImage3"] == 2  # every 4th of 8 frames
+    assert bus2.counts.get("rgbImage3", 0) == 0
+    assert (small["d"].height, small["d"].width) == (60, 80)
 
 
 def test_ros_adapter_mapping_and_conversion():
@@ -243,10 +308,15 @@ def test_ros_adapter_mapping_and_conversion():
         ("controller_diagnostics1", messages.ControllerDiagnostics),
         ("/camera/t265/odom/sample", messages.Odometry),
         ("pose_euler1", messages.PoseEulerStamped),
+        ("depthImage1", messages.Image),
+        ("rgbImage1", messages.Image),
+        ("imageReceivedFlag1", messages.Header),
+        ("imagePoll", messages.Header),
     ]:
         hit = ra.lookup(topic)
         assert hit is not None and hit[0] is cls, topic
-    assert ra.lookup("depthImage") is None  # image topics are not mapped
+    # sensor_msgs/Image rides under its ROS package name
+    assert ra.lookup("depthImage")[1:] == ("sensor_msgs", "Image")
 
     # every mirror dataclass is either topic-mapped or nested-only
     import agrifly_tpu.io.messages as msgs_mod
