@@ -50,11 +50,23 @@ def replay_static_unroll():
         _REPLAY_STATIC_UNROLL = prev
 
 
+def _col(mask):
+    """mask[..., None] that Mosaic lowers (no i1 reshape): int round-trip."""
+    return mask.astype(jnp.int32)[..., None] != 0
+
+
+def _pick(x, i):
+    """x[i] that Mosaic can lower for bool arrays (no i1 squeeze)."""
+    if x.dtype == jnp.bool_:
+        return x.astype(jnp.int32)[i] != 0
+    return x[i]
+
+
 def _sweep(seg, carry, xs):
     """scan(seg, carry, xs) with an optional static unroll (same op order)."""
     if _REPLAY_STATIC_UNROLL:
         for i in range(xs[0].shape[0]):
-            carry, _ = seg(carry, tuple(x[i] for x in xs))
+            carry, _ = seg(carry, tuple(_pick(x, i) for x in xs))
         return carry, None
     return jax.lax.scan(seg, carry, xs, unroll=2)
 
@@ -80,7 +92,8 @@ class PredictionPipe(NamedTuple):
     active_us: jnp.ndarray  # (K,) int32 activation time, monotone in ring order
     acc: jnp.ndarray  # (K, 3)
     angvel: jnp.ndarray  # (K, 3)
-    ballistic: jnp.ndarray  # (K,) bool
+    ballistic: jnp.ndarray  # (K,) int32 0/1 (vector i1 state does not
+    # survive Mosaic select/reshape lowering; scalars stay bool)
     head: jnp.ndarray  # int32
     count: jnp.ndarray  # int32
 
@@ -90,7 +103,7 @@ def pipe_init() -> PredictionPipe:
         active_us=jnp.zeros(PIPE_CAPACITY, jnp.int32),
         acc=jnp.zeros((PIPE_CAPACITY, 3), jnp.float32),
         angvel=jnp.zeros((PIPE_CAPACITY, 3), jnp.float32),
-        ballistic=jnp.ones(PIPE_CAPACITY, jnp.bool_),
+        ballistic=jnp.ones(PIPE_CAPACITY, jnp.int32),
         head=jnp.int32(0),
         count=jnp.int32(0),
     )
@@ -109,9 +122,9 @@ def pipe_push(p: PredictionPipe, now_us, delay_us, acc, angvel, ballistic, do_pu
     sel = (jnp.arange(PIPE_CAPACITY, dtype=jnp.int32) == slot) & do_push  # one-hot, gather-free
     return PredictionPipe(
         active_us=jnp.where(sel, now_us + delay_us, p.active_us).astype(jnp.int32),
-        acc=jnp.where(sel[:, None], jnp.asarray(acc, jnp.float32)[None, :], p.acc),
-        angvel=jnp.where(sel[:, None], jnp.asarray(angvel, jnp.float32)[None, :], p.angvel),
-        ballistic=jnp.where(sel, ballistic, p.ballistic),
+        acc=jnp.where(_col(sel), jnp.asarray(acc, jnp.float32)[None, :], p.acc),
+        angvel=jnp.where(_col(sel), jnp.asarray(angvel, jnp.float32)[None, :], p.angvel),
+        ballistic=jnp.where(sel, jnp.asarray(ballistic).astype(jnp.int32), p.ballistic),
         head=head,
         count=count + jnp.asarray(do_push).astype(jnp.int32),
     )
@@ -132,9 +145,9 @@ def _pipe_ordered(p: PredictionPipe):
     Mi = M.astype(jnp.int32)
     act = (Mi * p.active_us[None, :]).sum(axis=1, dtype=jnp.int32)
     # masked sums, not matmuls (TPU dot_general truncates values to bf16)
-    acc = jnp.where(M[:, :, None], p.acc[None, :, :], 0.0).sum(1)
-    angvel = jnp.where(M[:, :, None], p.angvel[None, :, :], 0.0).sum(1)
-    ball = (Mi * p.ballistic[None, :].astype(jnp.int32)).sum(axis=1, dtype=jnp.int32) > 0
+    acc = jnp.where(_col(M), p.acc[None, :, :], 0.0).sum(1)
+    angvel = jnp.where(_col(M), p.angvel[None, :, :], 0.0).sum(1)
+    ball = (Mi * p.ballistic[None, :]).sum(axis=1, dtype=jnp.int32)  # int 0/1
     used = idx < p.count
     act = jnp.where(used, act, jnp.int32(2**30))
     return act, acc, angvel, ball
@@ -230,10 +243,11 @@ def _replay(s: MocapEstState, t0_us, t1_us, update_variance):
     # newest active = one-hot of the max active index (gather-free)
     idxs = jnp.arange(PIPE_CAPACITY)
     best = jnp.where(is_active0, idxs, -1).max()
-    sel0 = (idxs == best)[:, None]
+    sel0 = _col(idxs == best)
     cur_acc = jnp.where(any0, jnp.where(sel0, accs, 0.0).sum(0), jnp.zeros(3, jnp.float32))
     cur_angvel = jnp.where(any0, jnp.where(sel0, angvels, 0.0).sum(0), jnp.zeros(3, jnp.float32))
-    cur_ball = jnp.where(any0, (jnp.where(sel0[:, 0], balls, False)).any(), jnp.bool_(True))
+    ball0 = ((idxs == best).astype(jnp.int32) * balls).sum() > 0
+    cur_ball = jnp.where(any0, ball0, jnp.bool_(True))
 
     # variance carried as scalar (p00, p01, p11) triples: building 2x2
     # matrices per segment (eye().at.set, jnp.diag) lowers to scatters under
@@ -268,7 +282,7 @@ def _replay(s: MocapEstState, t0_us, t1_us, update_variance):
         switch = (act_i > t0_us) & (act_i <= t1)
         cur_acc = jnp.where(switch, acc_i, cur_acc)
         cur_angvel = jnp.where(switch, angvel_i, cur_angvel)
-        cur_ball = jnp.where(switch, ball_i, cur_ball)
+        cur_ball = jnp.where(switch, ball_i != 0, cur_ball)
         t = boundary
         return (t, pos, vel, att, angvel, (cur_acc, cur_angvel, cur_ball), vp, va), None
 
@@ -571,11 +585,12 @@ def _gps_replay(s: GpsEstState, t0_us, t1_us, update_cov):
     any0 = jnp.any(is_active0)
     idxs = jnp.arange(PIPE_CAPACITY)
     best = jnp.where(is_active0, idxs, -1).max()
-    sel0 = (idxs == best)[:, None]
+    sel0 = _col(idxs == best)
     cur = (
         jnp.where(any0, jnp.where(sel0, accs, 0.0).sum(0), jnp.zeros(3, jnp.float32)),
         jnp.where(any0, jnp.where(sel0, angvels, 0.0).sum(0), jnp.zeros(3, jnp.float32)),
-        jnp.where(any0, (jnp.where(sel0[:, 0], balls, False)).any(), jnp.bool_(True)),
+        jnp.where(any0, ((idxs == best).astype(jnp.int32) * balls).sum() > 0,
+                  jnp.bool_(True)),
     )
 
     def seg(carry, x):
@@ -596,7 +611,7 @@ def _gps_replay(s: GpsEstState, t0_us, t1_us, update_cov):
         cur = (
             jnp.where(switch, acc_i, cur_acc),
             jnp.where(switch, angvel_i, cur_angvel),
-            jnp.where(switch, ball_i, cur_ball),
+            jnp.where(switch, ball_i != 0, cur_ball),
         )
         return (boundary, pos, vel, att, angvel, cur, cov, lac), None
 

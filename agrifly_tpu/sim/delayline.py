@@ -47,6 +47,11 @@ def _onehot(idx):
     return jnp.arange(CAPACITY, dtype=jnp.int32) == idx
 
 
+def _col(mask):
+    """mask[:, None] that Mosaic lowers (no i1 reshape): int round-trip."""
+    return mask.astype(jnp.int32)[:, None] != 0
+
+
 def push(ring: RadioRing, msg_type, msg_flags, msg_fields, step, do_push):
     """Append a message (dropped silently if full, like a saturated radio)."""
     slot = (ring.head + ring.count) % CAPACITY
@@ -54,7 +59,7 @@ def push(ring: RadioRing, msg_type, msg_flags, msg_fields, step, do_push):
     sel = _onehot(slot) & can  # (K,)
     types = jnp.where(sel, msg_type, ring.types)
     flags = jnp.where(sel, msg_flags, ring.flags)
-    fields = jnp.where(sel[:, None], msg_fields[None, :], ring.fields)
+    fields = jnp.where(_col(sel), msg_fields[None, :], ring.fields)
     send_step = jnp.where(sel, step, ring.send_step)
     return ring._replace(
         types=types, flags=flags, fields=fields, send_step=send_step,
@@ -74,7 +79,7 @@ def pop_due(ring: RadioRing, step, dt_us, delay_us):
     due = has & (age_us > delay_us)
     mtype = jnp.where(front, ring.types, 0).sum(dtype=jnp.int32)
     mflags = jnp.where(front, ring.flags, 0).sum(dtype=jnp.int32)
-    mfields = jnp.where(front[:, None], ring.fields, 0).sum(axis=0, dtype=jnp.int32)
+    mfields = jnp.where(_col(front), ring.fields, 0).sum(axis=0, dtype=jnp.int32)
     new_ring = ring._replace(
         head=jnp.where(due, (ring.head + 1) % CAPACITY, ring.head),
         count=jnp.where(due, ring.count - 1, ring.count),

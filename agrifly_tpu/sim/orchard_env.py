@@ -31,6 +31,7 @@ import jax.numpy as jnp
 from agrifly_tpu.io import radio
 from agrifly_tpu.offboard import controller as offboard_ctrl
 from agrifly_tpu.offboard import estimators
+from agrifly_tpu.ops import lin3
 from agrifly_tpu.ops import rotation as rot
 from agrifly_tpu.planner import rappids, traj as traj_mod
 from agrifly_tpu.render import orchard as orch
@@ -221,13 +222,14 @@ def _tracking_refs(params: OrchardEnvParams, pl: PlannedTraj, step):
     acc_c = jnp.where(ez & (z_neg & (acc_c[2] < 0)), 0.0, acc_c)
 
     R = rot.to_matrix(pl.att)
-    ref_pos = R @ pos_c + pl.offset
-    ref_vel = R @ vel_c
-    ref_acc = R @ acc_c
+    # lin3.mv3 broadcast-sums, not `@` (bf16 MXU + Mosaic lowering)
+    ref_pos = lin3.mv3(R, pos_c) + pl.offset
+    ref_vel = lin3.mv3(R, vel_c)
+    ref_acc = lin3.mv3(R, acc_c)
     t_thr = jnp.clip(t, 0.0, pl.tf)
     ref_thrust = traj_mod.thrust(tr, t_thr, pl.grav_cam)
     omega_cam = traj_mod.omega(tr, jnp.minimum(t_thr, pl.tf - 0.02), 0.02, pl.grav_cam)
-    ref_angvel_world = R @ omega_cam
+    ref_angvel_world = lin3.mv3(R, omega_cam)
     return ref_pos, ref_vel, ref_acc, ref_thrust, ref_angvel_world
 
 
@@ -385,12 +387,13 @@ def frame_step(params: OrchardEnvParams, s: OrchardEnvState):
     # 2. plan in the camera frame (main.cpp:484-508)
     cam_att_est = rot.qmul(est_att_n, rot.from_euler_ypr(*raycast.DEPTH_CAM_YPR))
     R_wc = rot.to_matrix(cam_att_est)  # world-from-camera
-    vel_cam = R_wc.T @ est_vel
-    acc_cam = R_wc.T @ (
+    # broadcast-sum transposed matvecs (bf16 MXU hazard on tiny dots)
+    vel_cam = lin3.mv3t(R_wc, est_vel)
+    acc_cam = lin3.mv3t(R_wc, (
         rot.rotate(est_att_n, jnp.array([0.0, 0.0, 1.0], jnp.float32))
         * base.last_cmd_thrust + GRAV_W
-    )
-    grav_cam = R_wc.T @ GRAV_W
+    ))
+    grav_cam = lin3.mv3t(R_wc, GRAV_W)
 
     # waypoint switching at the reference's 1 m radius
     # (ExampleVehicleStateMachine.cpp:702-730); after the last waypoint,
@@ -415,7 +418,7 @@ def frame_step(params: OrchardEnvParams, s: OrchardEnvState):
         land_pos = jnp.where(enter_land, est_pos, land_pos)
         land_start_step = jnp.where(enter_land, base.step, land_start_step)
     goal_world = (params.waypoints * (wp_iota == waypoint_idx)[:, None]).sum(0)
-    goal_cam = R_wc.T @ (goal_world - est_pos)
+    goal_cam = lin3.mv3t(R_wc, goal_world - est_pos)
 
     key, sub, k_noise = jax.random.split(base.key, 3)
     res = rappids.plan(

@@ -92,10 +92,10 @@ def _get_call(params, treedef, specs, n_ticks, interpret):
         s = jax.tree_util.tree_unflatten(treedef, leaves)
 
         def body(i, s):
-            # one-hot row select (gather-free; exact: single nonzero term)
-            sel = jax.lax.broadcasted_iota(
-                jnp.int32, (n_ticks, 1), 0)[:, 0] == i
-            n_i = jnp.where(sel[:, None], noise, 0.0).sum(0)  # (6,)
+            # one-hot row select (gather-free; exact: single nonzero term);
+            # the mask stays 2-D int-compared — Mosaic can't reshape i1
+            sel = jax.lax.broadcasted_iota(jnp.int32, (n_ticks, 1), 0) == i
+            n_i = jnp.where(sel, noise, 0.0).sum(0)  # (6,)
             return orchard_env._sim_tick(
                 params, s, jnp.stack([n_i[0:3], n_i[3:6]]))
 
