@@ -66,35 +66,48 @@ def quantize(val, limit):
     return decode_field(encode_field(val, limit), limit)
 
 
-def make_rates_command(thrust, ang_vel, flags=0):
-    """Device-side rates command: fields[0]=thrust, 1:4=angvel (RadioTypes.hpp:160-175).
+# per-slot limit vectors + used-slot masks: the whole 10-field packet
+# encodes/decodes as ONE elementwise op (no minor-dim vector concats,
+# which Mosaic can't lower inside the fused tick kernel; also fewer
+# fusions under vmap). Unused slots stay raw 0 like the reference's
+# zero-initialized packet (encode_field(0) would be 32768).
+_LIM_RATES = jnp.array([MAX_CMD_THRUST] + [MAX_CMD_ANG_RATES] * 9, jnp.float32)
+_LIM_POS = jnp.array([MAX_CMD_POS] * 3 + [MAX_CMD_VEL] * 3
+                     + [MAX_CMD_ACC] * 3 + [MAX_DEFAULT], jnp.float32)
+_LIM_ACC = jnp.array([MAX_CMD_ACC] * 3 + [MAX_CMD_ANG_RATES]
+                     + [MAX_DEFAULT] * 6, jnp.float32)
+_USED4 = jnp.arange(NUM_FIELDS) < 4
+_USED9 = jnp.arange(NUM_FIELDS) < 9
 
-    Built by concatenation, not .at[] updates — static-index scatters don't
-    lower inside the Pallas fused-tick kernel that traces this codec."""
-    fields = jnp.concatenate([
-        encode_field(thrust, MAX_CMD_THRUST).reshape(1),
-        encode_field(ang_vel, MAX_CMD_ANG_RATES).reshape(3),
-        jnp.zeros(NUM_FIELDS - 4, jnp.int32),
-    ])
+
+def _scal(x):
+    return jnp.asarray(x, jnp.float32)
+
+
+def make_rates_command(thrust, ang_vel, flags=0):
+    """Device-side rates command: fields[0]=thrust, 1:4=angvel (RadioTypes.hpp:160-175)."""
+    z = jnp.float32(0.0)
+    vals = jnp.stack([_scal(thrust), _scal(ang_vel[0]), _scal(ang_vel[1]),
+                      _scal(ang_vel[2]), z, z, z, z, z, z])
+    fields = jnp.where(_USED4, encode_field(vals, _LIM_RATES), 0)
     return jnp.int32(TYPE_EXTERNAL_RATES_CMD), jnp.asarray(flags, jnp.int32), fields
 
 
 def make_position_command(des_pos, des_vel, des_acc, flags=0):
-    fields = jnp.concatenate([
-        encode_field(des_pos, MAX_CMD_POS).reshape(3),
-        encode_field(des_vel, MAX_CMD_VEL).reshape(3),
-        encode_field(des_acc, MAX_CMD_ACC).reshape(3),
-        jnp.zeros(NUM_FIELDS - 9, jnp.int32),
-    ])
+    z = jnp.float32(0.0)
+    vals = jnp.stack([
+        _scal(des_pos[0]), _scal(des_pos[1]), _scal(des_pos[2]),
+        _scal(des_vel[0]), _scal(des_vel[1]), _scal(des_vel[2]),
+        _scal(des_acc[0]), _scal(des_acc[1]), _scal(des_acc[2]), z])
+    fields = jnp.where(_USED9, encode_field(vals, _LIM_POS), 0)
     return jnp.int32(TYPE_POSITION_CMD), jnp.asarray(flags, jnp.int32), fields
 
 
 def make_acceleration_command(acc, yaw_rate, flags=0):
-    fields = jnp.concatenate([
-        encode_field(acc, MAX_CMD_ACC).reshape(3),
-        encode_field(yaw_rate, MAX_CMD_ANG_RATES).reshape(1),
-        jnp.zeros(NUM_FIELDS - 4, jnp.int32),
-    ])
+    z = jnp.float32(0.0)
+    vals = jnp.stack([_scal(acc[0]), _scal(acc[1]), _scal(acc[2]),
+                      _scal(yaw_rate), z, z, z, z, z, z])
+    fields = jnp.where(_USED4, encode_field(vals, _LIM_ACC), 0)
     return jnp.int32(TYPE_EXTERNAL_ACC_CMD), jnp.asarray(flags, jnp.int32), fields
 
 
@@ -111,27 +124,11 @@ def decode_message(msg_type, fields):
 
     Works under jit for traced msg_type: computes all decodings and selects.
     """
-    f_pos = jnp.concatenate(
-        [
-            decode_field(fields[0:3], MAX_CMD_POS),
-            decode_field(fields[3:6], MAX_CMD_VEL),
-            decode_field(fields[6:9], MAX_CMD_ACC),
-            decode_field(fields[9:10], MAX_DEFAULT),
-        ]
-    )
-    f_rates = jnp.concatenate(
-        [
-            decode_field(fields[0:1], MAX_CMD_THRUST),
-            decode_field(fields[1:10], MAX_CMD_ANG_RATES),
-        ]
-    )
-    f_acc = jnp.concatenate(
-        [
-            decode_field(fields[0:3], MAX_CMD_ACC),
-            decode_field(fields[3:4], MAX_CMD_ANG_RATES),
-            decode_field(fields[4:10], MAX_DEFAULT),
-        ]
-    )
+    # one elementwise decode per message type via the per-slot limit
+    # vectors (bitwise identical to the per-slice decode; no concats)
+    f_pos = decode_field(fields, _LIM_POS)
+    f_rates = decode_field(fields, _LIM_RATES)
+    f_acc = decode_field(fields, _LIM_ACC)
     f_default = decode_field(fields, MAX_DEFAULT)
     out = jnp.where(msg_type == TYPE_POSITION_CMD, f_pos, f_default)
     out = jnp.where(msg_type == TYPE_EXTERNAL_RATES_CMD, f_rates, out)

@@ -461,8 +461,11 @@ def logic_step(p: LogicParams, s: LogicState, u: LogicInputs):
     panic_reason = jnp.where(go_panic, unsafe, panic_reason)
     fs = jnp.where(go_panic, FS_PANIC, fs)
 
-    # one-hot write (static .at[] scatters don't lower inside Pallas)
-    debug = jnp.where(jnp.arange(6) == 0, filters.lp2_value(temp_lp), s.debug)
+    # scalar-stack rebuild (a masked scalar-into-carried-vector where
+    # crashes Mosaic layout inference inside the fused tick kernel)
+    d = s.debug
+    debug = jnp.stack([filters.lp2_value(temp_lp), d[..., 1], d[..., 2],
+                       d[..., 3], d[..., 4], d[..., 5]], axis=-1)
 
     # ---------------- controllers ----------------
     est_pos, est_vel, est_att, est_angvel = kf.pos, kf.vel, kf.att, kf.angvel

@@ -12,6 +12,8 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from agrifly_tpu.ops import lin3
+
 # allocation signs for (tx/d, ty/d, tz/kt) per motor 0..3
 _SIGNS = jnp.array(
     [
@@ -34,8 +36,8 @@ def motor_forces(params, total_thrust, torque):
     kt = params.prop0_spin_dir * params.prop_torque_from_thrust
     des_f = jnp.minimum(total_thrust, params.max_cmd_total_thrust)
     terms = jnp.stack([torque[..., 0] / d, torque[..., 1] / d, torque[..., 2] / kt], axis=-1)
-    # broadcast-sum, not einsum: tiny dot_generals go bf16 on the TPU MXU
-    f = ((_SIGNS * terms[..., None, :]).sum(-1) + des_f[..., None]) / 4.0
+    # scalar-expanded matvec (lin3.mv3 rationale: bf16 MXU + Pallas layout)
+    f = (lin3.mv3(_SIGNS, terms) + des_f[..., None]) / 4.0
     return jnp.clip(f, params.min_thrust_per_prop, params.max_thrust_per_prop)
 
 

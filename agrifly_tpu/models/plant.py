@@ -126,19 +126,20 @@ def step(p: PlantParams, s: PlantState, motor_cmds, ext_force, ext_torque, dt):
 
     w_abs_w = new_speeds * jnp.abs(new_speeds)  # (4,)
     thrusts = p.kf * w_abs_w  # (4,) along +z body
-    # stack/where forms, not .at[] updates: static-index scatters don't
-    # lower inside Pallas (the fused tick kernel traces this code)
-    z4 = jnp.zeros_like(thrusts)
-    forces_b = jnp.stack([z4, z4, thrusts], axis=-1)  # (4,3)
+    # masked-column assembly, not stacks/.at[] (the fused tick kernel
+    # traces this code; Mosaic lowers neither minor-dim vector concats nor
+    # static-index scatters)
+    forces_b = thrusts[:, None] * E3  # (4,3): thrust along +z body
 
     # torque: aero drag, thrust moment, rotor acceleration reaction
     tz_aero = -p.kt_sqr * w_abs_w * MOTOR_SPIN_SIGNS
     tz_react = -dspeed * p.motor_inertia * MOTOR_SPIN_SIGNS
-    torque_b = jnp.cross(p.motor_positions, forces_b)  # (4,3)
-    torque_b = torque_b + jnp.stack([z4, z4, tz_aero + tz_react], axis=-1)
+    torque_b = lin3.cross_rows(p.motor_positions, forces_b)  # (4,3)
+    torque_b = torque_b + (tz_aero + tz_react)[:, None] * E3
 
-    total_force_b = forces_b.sum(axis=0)
-    total_torque_b = torque_b.sum(axis=0)
+    # relayout: launder reduced rank-1s (Pallas layout, see ops/lin3)
+    total_force_b = lin3.relayout(forces_b.sum(axis=0))
+    total_torque_b = lin3.relayout(torque_b.sum(axis=0))
 
     # motor angular momentum (along +-z body)
     h_motor_z = (new_speeds * p.motor_inertia * MOTOR_SPIN_SIGNS).sum()

@@ -60,9 +60,11 @@ def run(p: OffboardCtrlParams, cur_pos, cur_vel, cur_att, des_pos,
 
     norm = jnp.linalg.norm(proper)
     proper = jnp.where(norm > p.max_proper_acc, proper * (p.max_proper_acc / norm), proper)
-    # z-masked where, not .at[2] (static scatters don't lower inside Pallas)
-    proper = jnp.where(jnp.arange(3) == 2,
-                       jnp.maximum(proper[2], p.min_vertical_proper_acc), proper)
+    # scalar-stack rebuild, not .at[2]/masked-where (static scatters and
+    # scalar-into-carried-vector selects don't lower inside Pallas)
+    proper = jnp.stack([proper[..., 0], proper[..., 1],
+                        jnp.maximum(proper[..., 2], p.min_vertical_proper_acc)],
+                       axis=-1)
 
     norm = jnp.linalg.norm(proper)
     thrust_dir = proper / jnp.where(norm < 1e-12, 1.0, norm)

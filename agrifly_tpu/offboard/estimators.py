@@ -32,22 +32,13 @@ import contextlib
 from agrifly_tpu.ops import lin3
 from agrifly_tpu.ops import rotation as rot
 
-# Trace-time flag: statically unroll the 8-slot replay sweeps instead of
-# lax.scan. Bitwise-identical (same op sequence); used when tracing inside
-# the Pallas fused-tick kernel where scan-with-xs does not lower. The jnp
-# path keeps scan(unroll=2) — full unroll explodes CPU test compile time.
-_REPLAY_STATIC_UNROLL = False
+from agrifly_tpu.ops import pallas_mode
 
-
-@contextlib.contextmanager
-def replay_static_unroll():
-    global _REPLAY_STATIC_UNROLL
-    prev = _REPLAY_STATIC_UNROLL
-    _REPLAY_STATIC_UNROLL = True
-    try:
-        yield
-    finally:
-        _REPLAY_STATIC_UNROLL = prev
+# Inside the Pallas fused-tick kernel (ops/pallas_mode) the 8-slot replay
+# sweeps statically unroll instead of lax.scan — bitwise-identical op
+# sequence; scan-with-xs does not lower through Mosaic. The jnp path keeps
+# scan(unroll=2): full unroll explodes CPU test compile time.
+replay_static_unroll = pallas_mode.pallas_safe  # back-compat alias
 
 
 def _col(mask):
@@ -64,7 +55,7 @@ def _pick(x, i):
 
 def _sweep(seg, carry, xs):
     """scan(seg, carry, xs) with an optional static unroll (same op order)."""
-    if _REPLAY_STATIC_UNROLL:
+    if pallas_mode.enabled():
         for i in range(xs[0].shape[0]):
             carry, _ = seg(carry, tuple(_pick(x, i) for x in xs))
         return carry, None
@@ -119,12 +110,21 @@ def pipe_push(p: PredictionPipe, now_us, delay_us, acc, angvel, ballistic, do_pu
     head = jnp.where(do_push & full, (p.head + 1) % PIPE_CAPACITY, p.head)
     count = jnp.where(do_push & full, p.count - 1, p.count)
     slot = (head + count) % PIPE_CAPACITY
-    sel = (jnp.arange(PIPE_CAPACITY, dtype=jnp.int32) == slot) & do_push  # one-hot, gather-free
+    # int blends + relayout'd float row writes: vector-bool & scalar-bool
+    # masks and scalar/carried-vector broadcasts inside wheres crash
+    # Mosaic's layout inference in the fused tick kernel (bit-exact)
+    si = ((jnp.arange(PIPE_CAPACITY, dtype=jnp.int32) == slot).astype(jnp.int32)
+          * jnp.asarray(do_push).astype(jnp.int32))  # one-hot, gather-free
+    # int delta-blends (bit-exact) + 2-D wheres for float rows: the slot-
+    # write forms Mosaic's layout inference accepts in the tick kernel
     return PredictionPipe(
-        active_us=jnp.where(sel, now_us + delay_us, p.active_us).astype(jnp.int32),
-        acc=jnp.where(_col(sel), jnp.asarray(acc, jnp.float32)[None, :], p.acc),
-        angvel=jnp.where(_col(sel), jnp.asarray(angvel, jnp.float32)[None, :], p.angvel),
-        ballistic=jnp.where(sel, jnp.asarray(ballistic).astype(jnp.int32), p.ballistic),
+        active_us=p.active_us + si * ((now_us + delay_us) - p.active_us),
+        acc=jnp.where(si[:, None] != 0,
+                      lin3.relayout(jnp.asarray(acc, jnp.float32))[None, :], p.acc),
+        angvel=jnp.where(si[:, None] != 0,
+                         lin3.relayout(jnp.asarray(angvel, jnp.float32))[None, :], p.angvel),
+        ballistic=p.ballistic + si * (jnp.asarray(ballistic).astype(jnp.int32)
+                                      - p.ballistic),
         head=head,
         count=count + jnp.asarray(do_push).astype(jnp.int32),
     )
@@ -244,8 +244,10 @@ def _replay(s: MocapEstState, t0_us, t1_us, update_variance):
     idxs = jnp.arange(PIPE_CAPACITY)
     best = jnp.where(is_active0, idxs, -1).max()
     sel0 = _col(idxs == best)
-    cur_acc = jnp.where(any0, jnp.where(sel0, accs, 0.0).sum(0), jnp.zeros(3, jnp.float32))
-    cur_angvel = jnp.where(any0, jnp.where(sel0, angvels, 0.0).sum(0), jnp.zeros(3, jnp.float32))
+    cur_acc = jnp.where(any0, lin3.relayout(jnp.where(sel0, accs, 0.0).sum(0)),
+                        jnp.zeros(3, jnp.float32))
+    cur_angvel = jnp.where(any0, lin3.relayout(jnp.where(sel0, angvels, 0.0).sum(0)),
+                           jnp.zeros(3, jnp.float32))
     ball0 = ((idxs == best).astype(jnp.int32) * balls).sum() > 0
     cur_ball = jnp.where(any0, ball0, jnp.bool_(True))
 
@@ -318,10 +320,15 @@ def mocap_set_predicted_values(s: MocapEstState, now_us, delay_us, cmd_angvel,
 
 
 def mocap_get_prediction(s: MocapEstState, now_us, latency_us):
-    """Forward-simulate the latency: estimate at now + latency (cpp:61-118)."""
+    """Forward-simulate the latency: estimate at now + latency (cpp:61-118).
+
+    Outputs are relayout-laundered: replay-derived vectors otherwise carry
+    reduction layouts into the downstream controllers, which crashes
+    Mosaic inside the fused tick kernel (value-identical)."""
     t1 = now_us + latency_us
     pos, vel, att, angvel, _, _ = _replay(s, s.estimate_us, t1, update_variance=False)
-    return pos, vel, att, angvel
+    return (lin3.relayout(pos), lin3.relayout(vel), lin3.relayout(att),
+            lin3.relayout(angvel))
 
 
 def mocap_update(s: MocapEstState, now_us, meas_pos, meas_att, dt_advance_us) -> MocapEstState:
@@ -562,13 +569,10 @@ def _gps_cov_segment(cov, last_att_corr, att, angvel, cmd_acc, dt):
     nom_acc = rot.rotate_back(att, cmd_acc + jnp.array([0.0, 0.0, 9.81], jnp.float32))
     R = rot.to_matrix(att)
     ax, ay, az = nom_acc[0], nom_acc[1], nom_acc[2]
-    dva = dt * jnp.stack(
-        [
-            ay * R[:, 2] - az * R[:, 1],
-            -ax * R[:, 2] + az * R[:, 0],
-            ax * R[:, 1] - ay * R[:, 0],
-        ],
-        axis=1,
+    dva = dt * lin3.assemble_cols3(
+        ay * R[:, 2] - az * R[:, 1],
+        -ax * R[:, 2] + az * R[:, 0],
+        ax * R[:, 1] - ay * R[:, 0],
     )
     g = angvel * dt + last_att_corr / 2.0
     return _ekf.cov_predict_block(
@@ -587,8 +591,10 @@ def _gps_replay(s: GpsEstState, t0_us, t1_us, update_cov):
     best = jnp.where(is_active0, idxs, -1).max()
     sel0 = _col(idxs == best)
     cur = (
-        jnp.where(any0, jnp.where(sel0, accs, 0.0).sum(0), jnp.zeros(3, jnp.float32)),
-        jnp.where(any0, jnp.where(sel0, angvels, 0.0).sum(0), jnp.zeros(3, jnp.float32)),
+        jnp.where(any0, lin3.relayout(jnp.where(sel0, accs, 0.0).sum(0)),
+                  jnp.zeros(3, jnp.float32)),
+        jnp.where(any0, lin3.relayout(jnp.where(sel0, angvels, 0.0).sum(0)),
+                  jnp.zeros(3, jnp.float32)),
         jnp.where(any0, ((idxs == best).astype(jnp.int32) * balls).sum() > 0,
                   jnp.bool_(True)),
     )

@@ -10,22 +10,64 @@ uses Eigen's closed-form .inverse() for fixed 3x3 too).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
 def mv3(m, v):
-    """Matrix-vector product (..., N, M) @ (..., M) as a broadcast-sum.
+    """3x3 (or Nx3) matvec m @ v, fully scalar-expanded.
 
     Tiny dot_generals lower to padded bf16 MXU passes on TPU (silent value
-    truncation) and fail to lower inside Pallas kernels; the broadcast-sum
-    form stays full-f32 on the VPU and fuses. Used for every 3x3/4x3 matvec
-    on the hot tick path."""
-    return (m * v[..., None, :]).sum(-1)
+    truncation); and inside the Pallas fused-tick kernel, rank-1 values
+    produced by broadcast+reduce (or reductions of offset row slices)
+    crash/defeat Mosaic's layout inference when they meet loop carries.
+    Static scalar extracts + left-associated sums + a scalar stack lower
+    everywhere and are bit-identical to the reduce form (3-element sums
+    share the association order)."""
+    v0, v1, v2 = v[..., 0], v[..., 1], v[..., 2]
+    return jnp.stack(
+        [m[..., i, 0] * v0 + m[..., i, 1] * v1 + m[..., i, 2] * v2
+         for i in range(m.shape[-2])], axis=-1)
 
 
 def mv3t(m, v):
-    """Transposed matvec (..., M, N)^T applied to v: m.T @ v."""
-    return (m * v[..., :, None]).sum(-2)
+    """Transposed matvec m.T @ v (same fully-scalar form as mv3)."""
+    v0, v1, v2 = v[..., 0], v[..., 1], v[..., 2]
+    return jnp.stack(
+        [m[..., 0, i] * v0 + m[..., 1, i] * v1 + m[..., 2, i] * v2
+         for i in range(m.shape[-1])], axis=-1)
+
+
+def relayout(x):
+    """Re-assemble a small trailing-dim array from scalar extracts.
+
+    A no-op value-wise; inside the Pallas fused-tick kernel it launders the
+    non-canonical vector layout left by a 2-D->rank-1 reduction before the
+    value meets a rotated loop carry (Mosaic VectorLayout::join crashes on
+    that combination). XLA fuses it away on the jnp path."""
+    return jnp.stack([x[..., i] for i in range(x.shape[-1])], axis=-1)
+
+
+# constant one-hot rows for assembling (..., 3) outputs column-by-column
+# without minor-dim vector concats (Mosaic can't lower those)
+_E0 = jnp.array([1.0, 0.0, 0.0], jnp.float32)
+_E1 = jnp.array([0.0, 1.0, 0.0], jnp.float32)
+_E2 = jnp.array([0.0, 0.0, 1.0], jnp.float32)
+
+
+def assemble_cols3(c0, c1, c2):
+    """Build (..., 3) from three (...,) columns via masked-sum placement
+    (exact: each slot sums one live term and two 0.0s)."""
+    return (c0[..., None] * _E0 + c1[..., None] * _E1 + c2[..., None] * _E2)
+
+
+def cross_rows(a, b):
+    """Row-wise cross product of (..., 3) x (..., 3) without the minor-dim
+    vector stack jnp.cross lowers to (Pallas-compatible)."""
+    c0 = a[..., 1] * b[..., 2] - a[..., 2] * b[..., 1]
+    c1 = a[..., 2] * b[..., 0] - a[..., 0] * b[..., 2]
+    c2 = a[..., 0] * b[..., 1] - a[..., 1] * b[..., 0]
+    return assemble_cols3(c0, c1, c2)
 
 
 def det3(m):
@@ -54,3 +96,12 @@ def inv3(m, det=None):
         axis=-2,
     )
     return cof * inv_det[..., None, None]
+
+
+def diag_from(d):
+    """diag(d) without jnp.diag's pad+concat lowering (Pallas-compatible):
+    an iota-compare mask times the broadcast vector. Value-identical."""
+    n = d.shape[-1]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    return jnp.where(rows == cols, d[..., None, :], 0.0)

@@ -141,14 +141,19 @@ def to_matrix(q):
 def rotate(q, v):
     """Rotate v from body to world frame: R(q) @ v.
 
-    Broadcast-sum, not einsum: tiny dot_generals lower to padded bf16 MXU
-    passes on TPU (silent truncation) and don't lower inside Pallas."""
-    return (to_matrix(q) * v[..., None, :]).sum(-1)
+    Fully scalar-expanded (ops/lin3.mv3 rationale): tiny dot_generals go
+    bf16 on the MXU, and broadcast/slice+reduce rank-1 results break
+    Mosaic layout inference inside the fused tick kernel's loop."""
+    from agrifly_tpu.ops import lin3
+
+    return lin3.mv3(to_matrix(q), v)
 
 
 def rotate_back(q, v):
     """Rotate v from world to body frame: R(q)^T @ v."""
-    return (to_matrix(q) * v[..., :, None]).sum(-2)
+    from agrifly_tpu.ops import lin3
+
+    return lin3.mv3t(to_matrix(q), v)
 
 
 def get_angle(q):

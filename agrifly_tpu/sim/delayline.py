@@ -20,6 +20,8 @@ from typing import NamedTuple
 
 import jax.numpy as jnp
 
+from agrifly_tpu.ops import lin3
+
 CAPACITY = 32
 
 
@@ -56,11 +58,14 @@ def push(ring: RadioRing, msg_type, msg_flags, msg_fields, step, do_push):
     """Append a message (dropped silently if full, like a saturated radio)."""
     slot = (ring.head + ring.count) % CAPACITY
     can = do_push & (ring.count < CAPACITY)
-    sel = _onehot(slot) & can  # (K,)
-    types = jnp.where(sel, msg_type, ring.types)
-    flags = jnp.where(sel, msg_flags, ring.flags)
-    fields = jnp.where(_col(sel), msg_fields[None, :], ring.fields)
-    send_step = jnp.where(sel, step, ring.send_step)
+    # int delta-blends `old + mask*(new-old)` (bit-exact for ints): the
+    # only slot-write form whose layouts Mosaic's inference accepts inside
+    # the fused tick kernel (wheres/blends with scalar broadcasts crash)
+    si = _onehot(slot).astype(jnp.int32) * jnp.asarray(can).astype(jnp.int32)
+    types = ring.types + si * (msg_type - ring.types)
+    flags = ring.flags + si * (msg_flags - ring.flags)
+    fields = ring.fields + si[:, None] * (msg_fields[None, :] - ring.fields)
+    send_step = ring.send_step + si * (step - ring.send_step)
     return ring._replace(
         types=types, flags=flags, fields=fields, send_step=send_step,
         count=ring.count + can.astype(jnp.int32),
@@ -79,7 +84,9 @@ def pop_due(ring: RadioRing, step, dt_us, delay_us):
     due = has & (age_us > delay_us)
     mtype = jnp.where(front, ring.types, 0).sum(dtype=jnp.int32)
     mflags = jnp.where(front, ring.flags, 0).sum(dtype=jnp.int32)
-    mfields = jnp.where(_col(front), ring.fields, 0).sum(axis=0, dtype=jnp.int32)
+    # relayout: launder the reduced rank-1 (Pallas layout, see ops/lin3)
+    mfields = lin3.relayout(
+        jnp.where(_col(front), ring.fields, 0).sum(axis=0, dtype=jnp.int32))
     new_ring = ring._replace(
         head=jnp.where(due, (ring.head + 1) % CAPACITY, ring.head),
         count=jnp.where(due, ring.count - 1, ring.count),

@@ -183,10 +183,15 @@ def step_static(params: EnvParams, s: EnvState, cmd: Command,
     )
 
 
-def _cadence_patterns(n=40, dt=2000, mocap=5000, offboard=10000):
-    """Python-simulate the accumulator trigger patterns from a zero start."""
-    def pat(period):
-        acc, out = 0, []
+def _cadence_patterns(n=40, dt=2000, mocap=5000, offboard=10000,
+                      macc0=0, oacc0=0):
+    """Python-simulate the accumulator trigger patterns.
+
+    macc0/oacc0: entry accumulator values (0 = cold start). From any entry
+    phase the pattern is immediately periodic with period mocap/gcd(dt,..)
+    = 5 ticks for the default timing."""
+    def pat(period, acc):
+        out = []
         for _ in range(n):
             acc += dt
             f = acc > period
@@ -195,38 +200,49 @@ def _cadence_patterns(n=40, dt=2000, mocap=5000, offboard=10000):
             out.append(bool(f))
         return out
 
-    return pat(mocap), pat(offboard)
+    return pat(mocap, macc0), pat(offboard, oacc0)
 
 
 def rollout_fast(params: EnvParams, state: EnvState, cmd: Command,
                  n_steps: int, use_estimator: bool = False,
-                 ctrl_mode: str = "rates"):
+                 ctrl_mode: str = "rates", entry_phase=None):
     """Cadence-specialized rollout: bit-identical to `rollout` for the
     default timing (dt 2 ms, mocap 200 Hz, offboard/GPS 100 Hz), but each
     tick is specialized at trace time to its (deterministic, periodic)
     estimator/offboard trigger pattern, so measurement updates and
     offboard control only generate work on the ticks where they fire
     (3-4x faster in estimator mode). Requires state.step == 0 at entry
-    and the default cadences; falls back to `rollout` otherwise."""
+    and the default cadences; falls back to `rollout` otherwise.
+
+    entry_phase: optional (mocap_acc_us, offboard_acc_us) *python ints* —
+    the entry accumulator values, for specializing a rollout that resumes
+    mid-flight (e.g. a steady-state benchmark warmed outside jit, where
+    the phase is concrete but this call is traced). The caller asserts
+    the whole batch shares that phase; gps_acc is assumed equal to the
+    offboard phase (same 10 ms period, same reset history)."""
     dt = int(params.dt_us)
     if (dt != 2000 or int(params.mocap_period_us) != 5000
             or int(params.offboard_period_us) != 10000):
         return rollout(params, state, cmd, n_steps, use_estimator, ctrl_mode)
-    # Catch misuse when the entry step is concrete (outside jit): the fast
-    # path's prologue assumes step == 0. Array-valued concrete steps (e.g.
-    # a vmapped batch chained outside jit) must be all-zero too — int()
-    # would raise TypeError on those and silently pass them through.
-    try:
-        concrete_nonzero = bool((np.asarray(state.step) != 0).any())
-    except (jax.errors.TracerArrayConversionError,
-            jax.errors.ConcretizationTypeError):
-        concrete_nonzero = False  # traced: caller's contract, can't check
-    if concrete_nonzero:
-        return rollout(params, state, cmd, n_steps, use_estimator, ctrl_mode)
+    if entry_phase is None:
+        # Catch misuse when the entry step is concrete (outside jit): the
+        # fast path's prologue assumes step == 0. Array-valued concrete
+        # steps (e.g. a vmapped batch chained outside jit) must be all-zero
+        # too — int() would raise TypeError on those and silently pass.
+        try:
+            concrete_nonzero = bool((np.asarray(state.step) != 0).any())
+        except (jax.errors.TracerArrayConversionError,
+                jax.errors.ConcretizationTypeError):
+            concrete_nonzero = False  # traced: caller's contract, can't check
+        if concrete_nonzero:
+            return rollout(params, state, cmd, n_steps, use_estimator, ctrl_mode)
+        macc0 = oacc0 = 0
+    else:
+        macc0, oacc0 = int(entry_phase[0]), int(entry_phase[1])
 
     PERIOD = 5
     PROLOGUE = 5  # the joint pattern is periodic with period 5 from tick 1
-    mpat, opat = _cadence_patterns(PROLOGUE + PERIOD)
+    mpat, opat = _cadence_patterns(PROLOGUE + PERIOD, macc0=macc0, oacc0=oacc0)
 
     outs = []
 

@@ -88,40 +88,43 @@ def _get_call(params, treedef, specs, n_ticks, interpret):
     from agrifly_tpu.offboard import estimators
     from agrifly_tpu.sim import orchard_env
 
-    def loop(leaves, noise):
+    def loop(leaves, noise_g, noise_a):
         s = jax.tree_util.tree_unflatten(treedef, leaves)
 
         def body(i, s):
             # one-hot row select (gather-free; exact: single nonzero term);
-            # the mask stays 2-D int-compared — Mosaic can't reshape i1
+            # 2-D int-compared mask + sublane sum, then relayout-laundered
+            # (reduced rank-1s meeting rotated loop carries crash Mosaic
+            # layout inference — see ops/lin3.relayout)
+            from agrifly_tpu.ops import lin3
+
             sel = jax.lax.broadcasted_iota(jnp.int32, (n_ticks, 1), 0) == i
-            n_i = jnp.where(sel, noise, 0.0).sum(0)  # (6,)
-            return orchard_env._sim_tick(
-                params, s, jnp.stack([n_i[0:3], n_i[3:6]]))
+            n_g = lin3.relayout(jnp.where(sel, noise_g, 0.0).sum(0))  # (3,)
+            n_a = lin3.relayout(jnp.where(sel, noise_a, 0.0).sum(0))
+            return orchard_env._sim_tick(params, s, (n_g, n_a))
 
         s = jax.lax.fori_loop(0, n_ticks, body, s)
         return jax.tree_util.tree_leaves(s)
 
     leaf_avals = [jax.ShapeDtypeStruct(sh, dt) for sh, dt in specs]
-    noise_aval = jax.ShapeDtypeStruct((n_ticks, 6), jnp.float32)
+    noise_aval = jax.ShapeDtypeStruct((n_ticks, 3), jnp.float32)
     with estimators.replay_static_unroll():
-        closed = jax.make_jaxpr(loop)(leaf_avals, noise_aval)
+        closed = jax.make_jaxpr(loop)(leaf_avals, noise_aval, noise_aval)
     consts = [np.asarray(c) for c in closed.consts]
     const_specs = tuple((tuple(c.shape), jnp.dtype(c.dtype)) for c in consts)
 
     def kernel(*refs):
         nc, nl = len(consts), len(specs)
         const_refs = refs[:nc]
-        noise_ref = refs[nc]
-        in_refs = refs[nc + 1:nc + 1 + nl]
-        out_refs = refs[nc + 1 + nl:]
+        ng_ref, na_ref = refs[nc], refs[nc + 1]
+        in_refs = refs[nc + 2:nc + 2 + nl]
+        out_refs = refs[nc + 2 + nl:]
         const_vals = [
             _load(r, sh, dt) for r, (sh, dt) in zip(const_refs, const_specs)
         ]
         leaves = [_load(r, sh, dt) for r, (sh, dt) in zip(in_refs, specs)]
-        noise = noise_ref[...]
         outs = jax.core.eval_jaxpr(
-            closed.jaxpr, const_vals, *leaves, noise)
+            closed.jaxpr, const_vals, *leaves, ng_ref[...], na_ref[...])
         for r, v, (sh, dt) in zip(out_refs, outs, specs):
             out = jnp.asarray(v)
             if jnp.dtype(dt) == jnp.bool_:
@@ -132,7 +135,7 @@ def _get_call(params, treedef, specs, n_ticks, interpret):
         jax.ShapeDtypeStruct(_canon_shape(sh), _io_dtype(dt))
         for sh, dt in specs
     ]
-    n_inputs = len(consts) + 1 + len(specs)
+    n_inputs = len(consts) + 2 + len(specs)
     call_ = pl.pallas_call(
         kernel,
         out_shape=out_shapes,
@@ -140,10 +143,19 @@ def _get_call(params, treedef, specs, n_ticks, interpret):
         out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * len(specs),
         interpret=interpret,
     )
-    packed_consts = [_pack(c) for c in consts]
+    # keep consts as NUMPY in the closure: jnp arrays materialized during
+    # the first outer-jit trace would leak that trace's tracers into the
+    # cache (np converts to on-device constants at each trace, free)
+    def _pack_np(x):
+        x = np.asarray(x)
+        if x.dtype == np.bool_:
+            x = x.astype(np.int32)
+        return x.reshape(_canon_shape(x.shape))
 
-    def call(packed_leaves, noise2):
-        return call_(*packed_consts, noise2, *packed_leaves)
+    packed_consts = [_pack_np(c) for c in consts]
+
+    def call(packed_leaves, noise_g, noise_a):
+        return call_(*packed_consts, noise_g, noise_a, *packed_leaves)
 
     _CACHE[key] = call
     return call
@@ -163,7 +175,7 @@ def frame_ticks(params, state, noise, interpret=False):
     call = _get_call(params, treedef, specs, n_ticks, bool(interpret))
 
     packed = [_pack(l) for l in leaves]
-    noise2 = jnp.asarray(noise, jnp.float32).reshape(n_ticks, 6)
-    out = call(packed, noise2)
+    noise = jnp.asarray(noise, jnp.float32)
+    out = call(packed, noise[:, 0, :], noise[:, 1, :])
     new_leaves = [_unpack(o, sh, dt) for o, (sh, dt) in zip(out, specs)]
     return jax.tree_util.tree_unflatten(treedef, new_leaves)

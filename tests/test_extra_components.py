@@ -182,3 +182,32 @@ def test_rollout_fast_nonzero_step_falls_back():
     assert np.asarray(sb3.step).shape == (2,)
     with pytest.raises(Exception):
         env.rollout_fast(params, sb3, cmd, 20, False)
+
+
+def test_rollout_fast_entry_phase_resumes_midflight():
+    """entry_phase=(mocap_acc, offboard_acc) specializes the cadence
+    pattern for a warm (nonzero-step) state: identical discrete state and
+    ulp-close trajectory vs the generic rollout, even under jit where the
+    step is traced (the steady-state benchmark path)."""
+    for mode in (True, "gpsimu"):
+        params = env.make_params(noise_scale=1.0)
+        cmd = env.hover_command((0.0, 0.0, 1.2))
+        s0 = env.init_state(params, jax.random.PRNGKey(11))
+        warm, _ = env.rollout_fast(params, s0, cmd, 503, mode)  # odd phase
+        phase = (int(warm.mocap_acc_us), int(warm.offboard_acc_us))
+        assert phase != (0, 0)
+
+        ref_final, ref_traj = env.rollout(params, warm, cmd, 47, mode)
+        fast_final, fast_traj = jax.jit(
+            lambda s: env.rollout_fast(params, s, cmd, 47, mode,
+                                       entry_phase=phase))(warm)
+        np.testing.assert_array_equal(
+            np.asarray(ref_traj.flight_state), np.asarray(fast_traj.flight_state))
+        np.testing.assert_array_equal(
+            np.asarray(ref_final.mocap_acc_us), np.asarray(fast_final.mocap_acc_us))
+        np.testing.assert_array_equal(
+            np.asarray(ref_final.offboard_acc_us),
+            np.asarray(fast_final.offboard_acc_us))
+        np.testing.assert_allclose(
+            np.asarray(ref_final.plant.pos), np.asarray(fast_final.plant.pos),
+            atol=1e-4, err_msg=f"mode={mode}")
