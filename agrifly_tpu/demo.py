@@ -45,6 +45,10 @@ def main(argv=None):
     ap.add_argument("--fleet", type=int, default=1,
                     help="fly N vehicles abreast as one batched program "
                          "(independent full perception-plan-act loops)")
+    ap.add_argument("--mesh", action="store_true",
+                    help="shard the fleet's vehicle axis over all visible "
+                         "devices (shard_map; fleet must divide the device "
+                         "count) — the multi-chip scale-out path")
     ap.add_argument("--record", type=str, default=None,
                     help="record every published topic (truth + planner/"
                          "controller diagnostics) to a JSONL file — the "
@@ -146,6 +150,26 @@ def main(argv=None):
     frames_per_block = 31  # ~1 s of sim time
     if fleet == 1:
         fly_block = jax.jit(lambda s: orchard_env.fly(params, s, frames_per_block))
+    elif args.mesh:
+        # shard the vehicle axis over the device mesh (full perception loop
+        # per shard; metrics ride ICI psums)
+        from agrifly_tpu.parallel import sharding as shard_mod
+
+        mesh = shard_mod.make_mesh()
+        if fleet % mesh.devices.size:
+            raise SystemExit(
+                f"--fleet {fleet} must divide the {mesh.devices.size}-device mesh")
+        state = jax.device_put(
+            state, jax.tree_util.tree_map(
+                lambda _: shard_mod.env_sharding(mesh), state))
+        _mesh_step = shard_mod.make_orchard_fleet_step(
+            params, mesh, fleet, n_frames=frames_per_block)
+
+        def fly_block(s):
+            s2, _metrics = _mesh_step(s)
+            return s2, None
+        print(f"mesh: {mesh.devices.size} devices, "
+              f"{fleet // mesh.devices.size} vehicles/device")
     else:
         fly_block = jax.jit(
             lambda s: jax.vmap(
@@ -210,6 +234,9 @@ def main(argv=None):
             msg += f"; aggregate {fleet * steady_sim / steady_wall:.1f}x realtime over {fleet} vehicles"
     print(msg)
 
+    if args.csv and args.mesh and fleet > 1:
+        print("--csv is not supported with --mesh (metrics-only outputs)")
+        args.csv = None
     if args.csv:
         # re-fly a short segment recording outputs for the CSV
         from agrifly_tpu.utils import simlog

@@ -109,6 +109,22 @@ def run_dryrun(n_devices: int, envs_per_device: int = ENVS_PER_DEVICE,
     jax.block_until_ready(res)
     assert bool(res.found), "sharded planner found no trajectory in open space"
 
+    # the FULL perception-plan-act loop (render + RAPPIDS + tracked ticks)
+    # sharded over the mesh — config #4 (BASELINE.md) at chip scale
+    from agrifly_tpu.sim import orchard_env
+
+    oparams = orchard_env.make_params(
+        width=96, height=72, n_candidates=32, pyramid_capacity=8,
+        planner_rounds=1, use_pallas=False, start_flight_time=0.1,
+        fused_ticks=False)
+    n_o = 2 * n_devices
+    ostates = sharding.init_orchard_fleet(oparams, mesh, n_o)
+    ostep = sharding.make_orchard_fleet_step(oparams, mesh, n_o, n_frames=3)
+    ostates, ometrics = ostep(ostates)
+    jax.block_until_ready(ometrics)
+    assert int(ometrics.num_panicked) == 0, "orchard fleet panicked in dryrun"
+    assert ometrics.mean_pos.shape == (3,)
+
 
 def spawn(n_devices: int, envs_per_device: int = ENVS_PER_DEVICE,
           substeps: int = SUBSTEPS) -> None:
@@ -155,7 +171,7 @@ def main(argv=None) -> int:
     _force_cpu_mesh(args.n_devices)
     run_dryrun(args.n_devices, args.envs_per_device, args.substeps)
     print(f"DRYRUN OK: {args.n_devices} devices x {args.envs_per_device} envs "
-          f"x {args.substeps} substeps + sharded planner")
+          f"x {args.substeps} substeps + sharded planner + sharded orchard loop")
     return 0
 
 

@@ -215,3 +215,74 @@ def make_sharded_planner(planner_params, mesh: Mesh, n_candidates: int,
         return fn(depth_u16, keys, vel0, acc0, grav, goal_cam)
 
     return jax.jit(run)
+
+
+# =============================================================================
+# Multi-chip full perception-plan-act: shard the orchard fleet over the mesh
+# =============================================================================
+#
+# Config #4 (BASELINE.md) at chip scale: N independent vehicles each flying
+# the complete render -> RAPPIDS -> track frame, the vehicle axis sharded
+# over the mesh. Vehicles never communicate (SURVEY §2), so each device
+# renders/plans/tracks its own shard and the only collectives are the
+# fleet-metric psums riding ICI.
+
+
+class OrchardFleetMetrics(NamedTuple):
+    mean_pos: jnp.ndarray  # (3,)
+    num_panicked: jnp.ndarray  # int32
+    num_plans: jnp.ndarray  # int32: successful plans fleet-wide
+    num_landed: jnp.ndarray  # int32
+
+
+def init_orchard_fleet(params, mesh: Mesh, n_envs: int, base_seed: int = 0,
+                       lane_spacing: float = 3.0):
+    """Batched orchard states abreast in y, sharded over the mesh."""
+    from agrifly_tpu.sim import orchard_env
+
+    keys = jax.random.split(jax.random.PRNGKey(base_seed), n_envs)
+    lanes = (jnp.arange(n_envs, dtype=jnp.float32) - (n_envs - 1) / 2.0) * lane_spacing
+    spawns = jnp.stack([jnp.zeros(n_envs), lanes, jnp.zeros(n_envs)], axis=1)
+    states = jax.vmap(lambda k, p: orchard_env.init_state(params, k, pos=p))(
+        keys, spawns)
+    shard = env_sharding(mesh)
+    return jax.device_put(
+        states, jax.tree_util.tree_map(lambda _: shard, states))
+
+
+def make_orchard_fleet_step(params, mesh: Mesh, n_envs: int,
+                            n_frames: int = 1):
+    """jitted states -> (states, OrchardFleetMetrics): `n_frames` full
+    perception-plan-act frames per call, env axis sharded over the mesh.
+
+    params must have fused_ticks=False (the per-vehicle Pallas tick kernel
+    is the B=1 latency path; sharded fleets run the vmapped jnp scan)."""
+    from agrifly_tpu.sim import orchard_env
+
+    assert not params.fused_ticks, "sharded fleets use the jnp tick scan"
+
+    def local(states):
+        def body(carry, _):
+            s, _outs = jax.vmap(
+                lambda st: orchard_env.frame_step(params, st))(carry)
+            return s, None
+
+        states, _ = jax.lax.scan(body, states, None, length=n_frames)
+        inv_n = 1.0 / n_envs
+        metrics = OrchardFleetMetrics(
+            mean_pos=jax.lax.psum(states.base.plant.pos.sum(0) * inv_n, ENV_AXIS),
+            num_panicked=jax.lax.psum(
+                (states.base.logic.panic_reason != 0).sum().astype(jnp.int32),
+                ENV_AXIS),
+            num_plans=jax.lax.psum(states.plan_count.sum().astype(jnp.int32),
+                                   ENV_AXIS),
+            num_landed=jax.lax.psum(
+                (states.mstage == 2).sum().astype(jnp.int32), ENV_AXIS),
+        )
+        return states, metrics
+
+    fn = jax.shard_map(
+        local, mesh=mesh, in_specs=P(ENV_AXIS),
+        out_specs=(P(ENV_AXIS), P()), check_vma=False,
+    )
+    return jax.jit(fn, donate_argnums=0)
