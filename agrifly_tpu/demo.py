@@ -54,6 +54,10 @@ def main(argv=None):
                          "controller diagnostics) to a JSONL file — the "
                          "rosbag_record workflow; flies frame-by-frame "
                          "through the topic bridge (single vehicle)")
+    ap.add_argument("--rgb", type=str, default=None,
+                    help="write a shaded RGB frame (binary PPM) rendered "
+                         "from the final pose — Scene-image parity for both "
+                         "the procedural orchard and imported worlds")
     ap.add_argument("--scene-file", type=str, default=None,
                     help="explicit world geometry: .obj (Helios-export "
                          "triangles) or a primitives text file "
@@ -254,6 +258,25 @@ def main(argv=None):
         )
         simlog.write_rollout_csv(args.csv, traj, dt=params.steps_per_frame * 0.002)
         print(f"wrote {args.csv}")
+    if args.rgb:
+        from agrifly_tpu.render import raycast as rc_mod
+
+        s0 = (jax.tree_util.tree_map(lambda x: x[0], state) if fleet > 1
+              else state)
+        cam_att = rc_mod.camera_attitude(s0.base.plant.att)
+        if params.mesh is not None:
+            from agrifly_tpu.render import meshscene as ms_mod
+
+            rgb = ms_mod.render_rgb(params.render_cfg, params.mesh,
+                                    s0.base.plant.pos, cam_att)
+        else:
+            rgb = rc_mod.render_rgb(params.render_cfg, params.scene,
+                                    s0.base.plant.pos, cam_att)
+        rgb = np.asarray(rgb, np.uint8)
+        with open(args.rgb, "wb") as f:
+            f.write(f"P6\n{rgb.shape[1]} {rgb.shape[0]}\n255\n".encode())
+            f.write(rgb.tobytes())
+        print(f"wrote {args.rgb} ({rgb.shape[1]}x{rgb.shape[0]} PPM)")
     if args.ckpt:
         from agrifly_tpu.utils import checkpoint
 

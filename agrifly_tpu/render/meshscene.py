@@ -53,6 +53,8 @@ class MeshScene(NamedTuple):
     center_xy: jnp.ndarray  # (S, 2) XY centroid for distance windowing
     radius: jnp.ndarray  # (S,) bounding radius in XY
     count: int  # static number of real rows
+    material: jnp.ndarray = None  # (S,) int32 raycast.MAT_* ids for the RGB
+    # pass; None -> per-kind defaults (cylinder=trunk, sphere/tri=canopy)
 
 
 # ----------------------------------------------------------------------
@@ -60,21 +62,29 @@ class MeshScene(NamedTuple):
 # ----------------------------------------------------------------------
 
 
-def build_scene(spheres=(), cylinders=(), triangles=()) -> MeshScene:
+def build_scene(spheres=(), cylinders=(), triangles=(),
+                sphere_mats=None, cylinder_mats=None,
+                triangle_mats=None) -> MeshScene:
     """spheres: (cx, cy, cz, r); cylinders: (cx, cy, z0, z1, r);
-    triangles: ((v0), (v1), (v2)) vertex triples in world frame."""
+    triangles: ((v0), (v1), (v2)) vertex triples in world frame.
+    *_mats: optional per-primitive raycast.MAT_* ids for the RGB pass
+    (defaults: cylinders are trunks, spheres/triangles canopy)."""
     import numpy as np
 
-    rows, cxy, rad = [], [], []
-    for cx, cy, cz, r in spheres:
+    from agrifly_tpu.render import raycast as rc
+
+    rows, cxy, rad, mats = [], [], [], []
+    for i, (cx, cy, cz, r) in enumerate(spheres):
         rows.append([PRIM_SPHERE, cx, cy, cz, r, 0, 0, 0, 0, 0])
         cxy.append([cx, cy])
         rad.append(r)
-    for cx, cy, z0, z1, r in cylinders:
+        mats.append(sphere_mats[i] if sphere_mats is not None else rc.MAT_CANOPY)
+    for i, (cx, cy, z0, z1, r) in enumerate(cylinders):
         rows.append([PRIM_CYLINDER, cx, cy, z0, z1, r, 0, 0, 0, 0])
         cxy.append([cx, cy])
         rad.append(r)
-    for v0, v1, v2 in triangles:
+        mats.append(cylinder_mats[i] if cylinder_mats is not None else rc.MAT_TRUNK)
+    for i, (v0, v1, v2) in enumerate(triangles):
         v0 = np.asarray(v0, np.float64)
         e1 = np.asarray(v1, np.float64) - v0
         e2 = np.asarray(v2, np.float64) - v0
@@ -83,6 +93,7 @@ def build_scene(spheres=(), cylinders=(), triangles=()) -> MeshScene:
         cxy.append([c[0], c[1]])
         rad.append(max(np.linalg.norm(e1[:2]), np.linalg.norm(e2[:2]),
                        np.linalg.norm((e1 - e2)[:2])))
+        mats.append(triangle_mats[i] if triangle_mats is not None else rc.MAT_CANOPY)
     if not rows:
         raise ValueError("empty scene")
     return MeshScene(
@@ -90,6 +101,7 @@ def build_scene(spheres=(), cylinders=(), triangles=()) -> MeshScene:
         center_xy=jnp.asarray(np.asarray(cxy, np.float32)),
         radius=jnp.asarray(np.asarray(rad, np.float32)),
         count=len(rows),
+        material=jnp.asarray(np.asarray(mats, np.int32)),
     )
 
 
@@ -390,3 +402,116 @@ def render_depth_body(cfg: RenderConfig, scene: MeshScene, body_pos, body_att,
                       window_capacity: int = 192):
     return render_depth(cfg, scene, body_pos, camera_attitude(body_att),
                         window_capacity)
+
+
+# ----------------------------------------------------------------------
+# RGB pass (Scene-image parity for imported worlds)
+# ----------------------------------------------------------------------
+
+
+def render_rgb(cfg: RenderConfig, scene: MeshScene, cam_pos, cam_att,
+               window_capacity: int = 192, chunk: int = 16):
+    """Shaded RGB frame of an imported world — the Scene-image counterpart
+    of render_depth (reference: AirSimBridge publishes Unity Scene images
+    of *the* world, AirSimBridge/main.cpp:77-93; previously only the
+    procedural orchard had an RGB pass, raycast.render_rgb).
+
+    Same windowed chunk-scan as the depth pass but tracking the winning
+    primitive index; normals are analytic per kind (sphere radial,
+    cylinder radial-xy, triangle face normal flipped toward the viewer,
+    ground +z), materials come from the per-primitive `material` column,
+    and the shading formula (Lambertian 0.35+0.65, sun, distance haze,
+    sky) matches raycast.render_rgb exactly — a baked orchard renders the
+    same picture through either path. Returns (H, W, 3) uint8.
+    """
+    from agrifly_tpu.render import raycast as rc
+
+    d_w = jnp.linalg.norm(scene.center_xy - cam_pos[:2][None, :], axis=-1)
+    reach = d_w - scene.radius
+    visible = reach < cfg.far * slant_factor(cfg)
+    order = jnp.argsort(jnp.where(visible, reach, jnp.inf))[:window_capacity]
+    ok = visible[order]
+    window = jnp.where(ok[:, None], scene.prims[order],
+                       jnp.zeros_like(scene.prims[order]))
+    if scene.material is not None:
+        mats = jnp.where(ok, scene.material[order], rc.MAT_CANOPY)
+    else:
+        kinds = window[:, 0]
+        mats = jnp.where(kinds == PRIM_CYLINDER, rc.MAT_TRUNK, rc.MAT_CANOPY)
+
+    xs = (jnp.arange(cfg.width, dtype=jnp.float32) - cfg.width / 2.0) / cfg.focal
+    ys = (jnp.arange(cfg.height, dtype=jnp.float32) - cfg.height / 2.0) / cfg.focal
+    ex, ey = jnp.meshgrid(xs, ys)
+    d_cam = jnp.stack([ex, ey, jnp.ones_like(ex)], axis=-1)
+    R = rot.to_matrix(cam_att)
+    d = jnp.einsum("ij,hwj->hwi", R, d_cam)
+    o = jnp.broadcast_to(cam_pos, d.shape)
+
+    dz = d[..., 2]
+    t_ground = -o[..., 2] / jnp.where(jnp.abs(dz) < 1e-9, 1e-9, dz)
+    t_ground = jnp.where((t_ground > 0) & (dz != 0), t_ground, BIG)
+
+    capacity = window.shape[0]
+    chunk = max(1, min(chunk, capacity))
+    pad = (-capacity) % chunk
+    if pad:
+        window = jnp.concatenate(
+            [window, jnp.zeros((pad, window.shape[1]), window.dtype)], axis=0)
+    chunks = window.reshape(-1, chunk, window.shape[1])
+    idx_chunks = jnp.arange(chunks.shape[0] * chunk,
+                            dtype=jnp.int32).reshape(-1, chunk)
+
+    def body(carry, x):
+        best, best_idx = carry
+        rows, idxs = x
+        hits = jax.vmap(lambda row: _hit_row(row, o, d))(rows)  # (chunk,H,W)
+        t_min = hits.min(axis=0)
+        arg = hits.argmin(axis=0)
+        win_idx = idxs[arg]  # (H, W): absolute window row of chunk winner
+        closer = t_min < best
+        return (jnp.where(closer, t_min, best),
+                jnp.where(closer, win_idx, best_idx)), None
+
+    (best, best_idx), _ = jax.lax.scan(
+        body, (t_ground, jnp.full(t_ground.shape, -1, jnp.int32)),
+        (chunks, idx_chunks))
+
+    hit_prim = best_idx >= 0  # else ground (or sky if best >= BIG)
+    row = window[jnp.clip(best_idx, 0, window.shape[0] - 1)]  # (H, W, 10)
+    kind = row[..., 0]
+    p = row[..., 1:]
+    hit = o + best[..., None] * d
+
+    # analytic normals per kind
+    n_sphere = hit - p[..., 0:3]
+    n_cyl = jnp.concatenate(
+        [hit[..., 0:1] - p[..., 0:1], hit[..., 1:2] - p[..., 1:2],
+         jnp.zeros_like(hit[..., 2:3])], axis=-1)
+    n_tri = jnp.cross(p[..., 3:6], p[..., 6:9])
+    # face the viewer
+    n_tri = jnp.where(((n_tri * d).sum(-1) > 0)[..., None], -n_tri, n_tri)
+    normal = jnp.where((kind == PRIM_SPHERE)[..., None], n_sphere,
+                       jnp.where((kind == PRIM_CYLINDER)[..., None], n_cyl, n_tri))
+    nn = jnp.linalg.norm(normal, axis=-1, keepdims=True)
+    normal = normal / jnp.where(nn < 1e-9, 1.0, nn)
+    n_ground = jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0], jnp.float32), hit.shape)
+    normal = jnp.where(hit_prim[..., None], normal, n_ground)
+
+    mat = jnp.where(hit_prim, mats[jnp.clip(best_idx, 0, mats.shape[0] - 1)],
+                    jnp.where(best < BIG, rc.MAT_GROUND, rc.MAT_SKY))
+
+    sun = rc._SUN / jnp.linalg.norm(rc._SUN)
+    lambert = jnp.clip((normal * sun).sum(-1), 0.0, 1.0)
+    shade = 0.35 + 0.65 * lambert
+    base = rc._COLORS[mat]
+    haze = jnp.clip(best / cfg.far, 0.0, 1.0)[..., None] * 0.35
+    color = base * shade[..., None]
+    color = jnp.where((mat == rc.MAT_SKY)[..., None], rc._COLORS[rc.MAT_SKY], color)
+    color = color * (1 - haze) + rc._COLORS[rc.MAT_SKY] * haze
+    return jnp.clip(color * 255.0, 0, 255).astype(jnp.uint8)
+
+
+def render_rgb_body(cfg: RenderConfig, scene: MeshScene, body_pos, body_att,
+                    window_capacity: int = 192):
+    return render_rgb(cfg, scene, body_pos, camera_attitude(body_att),
+                      window_capacity)

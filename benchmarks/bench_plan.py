@@ -52,14 +52,24 @@ def main(argv):
         ("plan_ms_lazy_pooled_k2", dict(inflation_downsample=2, rounds=2,
                                         lazy_rounds=1)),
     ]
+    # scan CHUNK plans per call (fresh key each) so the ~2.8 ms tunnel
+    # dispatch amortizes — matching how plan() is consumed inside fly()
+    CHUNK = 10
     for name, kw in cases:
-        f = jax.jit(lambda key, kw=kw: rappids.plan(
-            params, depth, key, vel, acc, grav, goal,
-            n_candidates=n_cand, pyramid_capacity=n_pyr, **kw))
-        t = _util.best_time(f, jax.random.PRNGKey(1))
+        @jax.jit
+        def f(key, kw=kw):
+            def body(k, _):
+                k, sub = jax.random.split(k)
+                res = rappids.plan(
+                    params, depth, sub, vel, acc, grav, goal,
+                    n_candidates=n_cand, pyramid_capacity=n_pyr, **kw)
+                return k, res.num_collision_free
+            k, ns = jax.lax.scan(body, key, None, length=CHUNK)
+            return ns
+        t = _util.best_time(f, jax.random.PRNGKey(1)) / CHUNK
         _util.report(name, t * 1e3, "ms", baseline=None)
         print(f"  # {name}: collision_free="
-              f"{int(f(jax.random.PRNGKey(1)).num_collision_free)}")
+              f"{int(f(jax.random.PRNGKey(1))[0])}")
 
 
 if __name__ == "__main__":

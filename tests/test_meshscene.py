@@ -12,6 +12,7 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+from agrifly_tpu.ops import rotation as rot
 from agrifly_tpu.render import meshscene, orchard as orch, raycast
 
 
@@ -146,3 +147,22 @@ def test_strip_culled_kernel_exact_parity(baked):
         _, nvis = meshscene.strip_windows(
             cfg, win[0], pos, att, pallas_meshscene.TILE_H)
         assert float(np.asarray(nvis).mean()) < 48
+
+
+def test_rgb_baked_orchard_matches_procedural(baked):
+    """RGB for imported worlds: the baked orchard through
+    meshscene.render_rgb must produce (near-)the procedural
+    raycast.render_rgb picture — same geometry, same materials, same
+    shading formulas; differences only at silhouette edges where the two
+    traversals resolve grazing rays differently."""
+    scene, cfg, mesh = baked
+    pos = jnp.array([2.0, 1.0, 1.5], jnp.float32)
+    att = raycast.camera_attitude(rot.identity())
+    ref = np.asarray(raycast.render_rgb(cfg, scene, pos, att))
+    got = np.asarray(meshscene.render_rgb(cfg, mesh, pos, att))
+    assert got.shape == ref.shape == (cfg.height, cfg.width, 3)
+    same = (np.abs(ref.astype(int) - got.astype(int)) <= 2).all(axis=-1)
+    frac = same.mean()
+    assert frac > 0.98, f"only {frac:.3f} of pixels match"
+    # sanity: the frame actually contains trunk/canopy/ground materials
+    assert len(np.unique(got.reshape(-1, 3), axis=0)) > 20
