@@ -26,6 +26,76 @@ import sys
 import time
 
 
+def _teleop_loop(args, params, orchard_env, onboard):
+    """Operator-in-the-loop flight: start button arms the mission, red
+    button kills through the real radio wire (codec -> 30 ms delay line ->
+    onboard decode -> FS_KILLED), mirroring the reference's keyboard/
+    joystick operator flow (hiperlab_hardware keyboardmain.cpp:26-78,
+    VehicleMonitor/main.cpp:92-143)."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from agrifly_tpu.io import radio as radio_codec
+    from agrifly_tpu.io import teleop
+    from agrifly_tpu.sim import delayline
+
+    if args.teleop == "keyboard":
+        js = teleop.KeyboardJoystick()
+    elif args.teleop == "joystick":
+        js = teleop.LinuxJoystick()
+    elif args.teleop.startswith("scripted:"):
+        presses = []
+        for part in args.teleop[len("scripted:"):].split(","):
+            t_s, name = part.split(":")
+            presses.append((float(t_s), name))
+        js = teleop.ScriptedJoystick(presses)
+    else:
+        raise SystemExit(f"unknown --teleop mode: {args.teleop}")
+
+    # disarmed: planning/flight gated out until the start button
+    disarmed = params._replace(start_flight_step=jnp.int32(2**30))
+    frame_fns = {False: jax.jit(lambda s: orchard_env.frame_step(disarmed, s))}
+    state = orchard_env.init_state(params, jax.random.PRNGKey(args.seed))
+    dt = float(params.base.dt_us) * 1e-6
+    armed = killed = False
+    print(f"teleop ({args.teleop}): press start to arm, red to kill")
+    for b in range(args.frames):
+        t = float(int(state.base.step)) * dt
+        jsv = js.poll(t)
+        if jsv.buttonStart and not armed:
+            armed = True
+            armed_params = params._replace(
+                start_flight_step=state.base.step + jnp.int32(1))
+            frame_fns[True] = jax.jit(
+                lambda s: orchard_env.frame_step(armed_params, s))
+            print(f"t={t:6.2f}s ARMED — mission start (start button)")
+        if jsv.buttonRed and not killed:
+            killed = True
+            ktype, kflags, kfields = radio_codec.make_kill_command()
+            state = state._replace(base=state.base._replace(
+                ring=delayline.push(state.base.ring, ktype, kflags, kfields,
+                                    state.base.step, jnp.bool_(True))))
+            print(f"t={t:6.2f}s KILL — emergency-kill on the radio "
+                  f"(red button)")
+        state, _ = frame_fns[armed](state)
+        fs = int(state.base.logic.fs)
+        if (b + 1) % 31 == 0 or fs == onboard.FS_KILLED:
+            pos = np.asarray(state.base.plant.pos)
+            panic = int(state.base.logic.panic_reason)
+            print(f"t={t:6.2f}s pos=({pos[0]:7.2f},{pos[1]:6.2f},"
+                  f"{pos[2]:5.2f}) fs={fs} "
+                  f"panic={onboard.PANIC_REASON_NAMES.get(panic, panic)}")
+        if fs == onboard.FS_KILLED:
+            print("vehicle KILLED — motors off")
+            break
+    if hasattr(js, "close"):
+        js.close()
+    return 0
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--frames", type=int, default=300)
@@ -54,6 +124,16 @@ def main(argv=None):
                          "controller diagnostics) to a JSONL file — the "
                          "rosbag_record workflow; flies frame-by-frame "
                          "through the topic bridge (single vehicle)")
+    ap.add_argument("--teleop", type=str, default=None,
+                    help="operator-in-the-loop mission control "
+                         "(keyboardmain.cpp / VehicleMonitor parity): "
+                         "'keyboard' ('s' arms, 'b' = red button kills), "
+                         "'joystick' (Linux js device: Start arms, B "
+                         "kills), or 'scripted:T:BUTTON,...' (e.g. "
+                         "'scripted:0.5:buttonStart,3:buttonRed'). The "
+                         "mission is NOT auto-started: the start button "
+                         "arms it; the red button sends an emergency-kill "
+                         "through the real radio codec + delay line")
     ap.add_argument("--rgb", type=str, default=None,
                     help="write a shaded RGB frame (binary PPM) rendered "
                          "from the final pose — Scene-image parity for both "
@@ -138,6 +218,9 @@ def main(argv=None):
         return 0
 
     import jax.numpy as jnp
+
+    if args.teleop:
+        return _teleop_loop(args, params, orchard_env, onboard)
 
     fleet = max(1, args.fleet)
     if fleet == 1:

@@ -83,3 +83,25 @@ def test_linux_joystick_no_device():
         assert "joystick" in str(e)
     else:
         js.close()  # a real device existed; fine
+
+
+def test_scripted_joystick_drives_demo_arm_fly_kill(capsys):
+    """Operator-in-the-loop end-to-end through the demo CLI: the start
+    button arms the mission (flight begins only then), and the red button
+    sends an emergency-kill through the real radio codec + delay line,
+    landing as FS_KILLED / KILLED_EXTERNALLY onboard (keyboardmain.cpp /
+    VehicleMonitor operator-flow parity)."""
+    from agrifly_tpu import demo
+
+    rc = demo.main([
+        "--cpu", "--image", "96x72", "--candidates", "32", "--frames", "120",
+        "--teleop", "scripted:0.3:buttonStart,2.5:buttonRed",
+    ])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "ARMED" in out
+    assert "KILL — emergency-kill on the radio" in out
+    assert "KILLED_EXTERNALLY" in out
+    assert "vehicle KILLED" in out
+    # armed before killed, and the kill took effect after the radio delay
+    assert out.index("ARMED") < out.index("KILL") < out.index("vehicle KILLED")
