@@ -225,3 +225,40 @@ def test_lazy_rounds_cut_false_collisions(params):
     )(jnp.arange(256))
     false_free = np.asarray(gate & cfree) & ~np.asarray(free_oracle)
     assert false_free.sum() == 0, np.where(false_free)[0]
+
+
+def test_sequential_reference_oracle_agreement():
+    """benchmarks/seq_oracle ports the reference's anytime control flow
+    (random order + cost gate + on-demand inflation,
+    DepthImagePlanner.cpp:91-212,270-273) over the same geometry kernels.
+    On a cluttered orchard view with identical candidates, the batch
+    planner must agree with it on every sequentially-labeled candidate
+    and pick the identical best trajectory."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from benchmarks import seq_oracle
+
+    from agrifly_tpu.ops import rotation as rot
+    from agrifly_tpu.render import orchard, raycast
+
+    cfg = raycast.make_config(160, 120, far=10.0, dda_steps=8)
+    scene = orchard.make_params(seed=0)
+    cam = rappids.make_camera(160, 120, focal=80.0, depth_scale=10.0 / 256.0)
+    params = rappids.make_params(cam, true_radius=0.116, plan_radius=0.174,
+                                 min_check_dist=0.5)
+    att = raycast.camera_attitude(rot.identity())
+    depth = raycast.render_depth(
+        cfg, scene, jnp.array([5.0, 0.0, 2.5], jnp.float32), att)
+
+    m = seq_oracle.compare_on_scene(
+        params, depth, jax.random.PRNGKey(100),
+        jnp.array([0.0, 0.0, 1.5], jnp.float32), jnp.zeros(3),
+        jnp.array([0.0, 9.81, 0.0], jnp.float32),
+        jnp.array([0.0, 0.0, 50.0], jnp.float32),
+        n_candidates=96, pyramid_capacity=16)
+    assert m["both_found"]
+    assert m["n_checked"] >= 3  # the anytime gate actually pruned
+    assert m["label_agreement"] == 1.0
+    assert m["chosen_cost_delta"] == 0.0  # identical winning trajectory
