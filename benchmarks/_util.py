@@ -45,3 +45,20 @@ def report(metric, value, unit, baseline=None):
     if baseline:
         line["vs_baseline"] = value / baseline
     print(json.dumps(line))
+
+
+def pipelined_time(fn, *args, calls=8, warmup=1):
+    """Total wall time of `calls` back-to-back dispatches with ONE final
+    block_until_ready — bench.py's throughput methodology (a serialized
+    per-call loop pays full tunnel dispatch latency per call and can
+    understate throughput ~2x on big programs)."""
+    import jax
+
+    for _ in range(warmup):
+        jax.block_until_ready(fn(*args))
+    t0 = time.perf_counter()
+    out = None
+    for _ in range(calls):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / calls

@@ -37,7 +37,7 @@ def main(argv):
             return out
 
         states = jax.tree_util.tree_map(jnp.copy, states0)
-        t = _util.best_time(roll, states)
+        t = _util.pipelined_time(roll, states)
         _util.report(name, n_envs * n_steps / t, "steps/s",
                      baseline=1e6 if mode is False else None)
 

@@ -37,7 +37,7 @@ def main(argv):
         def step(s):
             return jax.vmap(lambda st: orchard_env.frame_step(params, st)[0])(s)
 
-        t = _util.best_time(step, state)
+        t = _util.pipelined_time(step, state)
         _util.report(f"fleet{fleet}_frame_ms", t * 1e3, "ms")
         _util.report(f"fleet{fleet}_aggregate_realtime",
                      fleet * frame_time / t, "x")

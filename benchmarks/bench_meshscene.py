@@ -37,12 +37,12 @@ def main(argv):
 
         f = jax.jit(lambda p, a: pallas_meshscene.render_depth_batch(
             cfg, scene, p, a))
-        t = _util.best_time(f, pos, att)
+        t = _util.pipelined_time(f, pos, att)
         _util.report("meshscene_depth_640x480_fps", batch / t, "frames/s")
     else:
         f = jax.jit(jax.vmap(lambda p, a: meshscene.render_depth(
             cfg, scene, p, a)))
-        t = _util.best_time(f, pos, att)
+        t = _util.pipelined_time(f, pos, att)
         _util.report("meshscene_depth_640x480_fps_jnp", batch / t, "frames/s")
 
 

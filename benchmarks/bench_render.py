@@ -32,7 +32,7 @@ def main(argv):
         f = jax.jit(lambda p, a: pallas_raycast.render_depth_batch(cfg, scene, p, a))
     else:
         f = jax.jit(jax.vmap(lambda p, a: raycast.render_depth(cfg, scene, p, a)))
-    t = _util.best_time(f, pos, att)
+    t = _util.pipelined_time(f, pos, att)
     _util.report("render_depth_640x480_fps", batch / t, "frames/s", baseline=5000)
 
 

@@ -49,7 +49,7 @@ def main(argv):
             params, st, cmd, n_steps, True, entry_phase=phase))(s)
         return out
 
-    t = _util.best_time(roll, states)
+    t = _util.pipelined_time(roll, states)
     _util.report("steady_state_mocap_steps_per_s", n_envs * n_steps / t,
                  "steps/s", baseline=1e6)
 
@@ -59,7 +59,7 @@ def main(argv):
             params, st, cmd, n_steps, False, entry_phase=phase))(s)
         return out
 
-    t = _util.best_time(roll_plain, states)
+    t = _util.pipelined_time(roll_plain, states)
     _util.report("steady_state_physics_steps_per_s", n_envs * n_steps / t,
                  "steps/s", baseline=1e6)
 
