@@ -186,9 +186,13 @@ def main(argv=None):
         waypoints=waypoints,
         land=args.land or args.traj_file is not None,
         mesh_scene=mesh_scene,
-        # the fused tick kernel is the single-vehicle latency path; fleets
-        # vmap frame_step and keep the jnp scan
-        fused_ticks=on_tpu and max(1, args.fleet) == 1 and args.record is None,
+        # the fused tick kernel is the single-vehicle latency path inside
+        # the scanned fly block; fleets vmap frame_step, and the
+        # frame-by-frame host loops (record/teleop) keep the jnp scan — a
+        # STANDALONE jit of the kernel pays ~35 ms of per-buffer host
+        # dispatch through the tunnel (126 leaves + 138 consts)
+        fused_ticks=(on_tpu and max(1, args.fleet) == 1
+                     and args.record is None and args.teleop is None),
     )
     if args.record:
         # rosbag_record_airsim.sh workflow: drive the orchard loop through

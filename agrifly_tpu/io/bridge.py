@@ -410,7 +410,12 @@ class OrchardBridge:
     stride-samples rows/cols before publishing. The depth frame is
     re-rendered from the same pre-frame true pose frame_step rendered
     from, so it is the planner's input bit-for-bit at 1/8 the bandwidth
-    of returning it through the scanned outputs."""
+    of returning it through the scanned outputs.
+
+    NB: the bridge jits frame_step standalone (one host dispatch per
+    frame); build params with fused_ticks=False on TPU — a standalone
+    dispatch of the fused tick kernel pays ~35 ms of per-buffer host
+    transfer through the tunnel (the kernel is for the scanned fly jit)."""
 
     def __init__(self, params, vehicle_id=1, seed=0, bus: TopicBus | None = None,
                  publish_images=True, publish_rgb=None, image_downsample=1,
