@@ -82,8 +82,8 @@ _CACHE = {}
 def _get_call(params, treedef, specs, n_ticks, interpret):
     key = (id(params), treedef, specs, n_ticks, interpret)
     hit = _CACHE.get(key)
-    if hit is not None:
-        return hit
+    if hit is not None and hit[0] is params:
+        return hit[1]
 
     from agrifly_tpu.offboard import estimators
     from agrifly_tpu.sim import orchard_env
@@ -157,7 +157,9 @@ def _get_call(params, treedef, specs, n_ticks, interpret):
     def call(packed_leaves, noise_g, noise_a):
         return call_(*packed_consts, noise_g, noise_a, *packed_leaves)
 
-    _CACHE[key] = call
+    # the cache VALUE keeps a strong reference to `params`, so its id can
+    # never be reused by a different (GC'd-and-reallocated) params object
+    _CACHE[key] = (params, call)
     return call
 
 
