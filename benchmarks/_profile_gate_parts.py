@@ -38,7 +38,7 @@ def main(argv):
         vel_ok = traj_mod.check_velocity_feasibility(tr, params.vmax)
         return cost.sum() + (feas & vel_ok).sum().astype(jnp.float32)
 
-    CHUNK = 10
+    CHUNK = 25
     prev = 0.0
     for stop in ["sample_cost", "input_feas", "vel_feas"]:
         @jax.jit
@@ -48,7 +48,7 @@ def main(argv):
                 return k, one(sub, stop)
             _, outs = jax.lax.scan(body, key, None, length=CHUNK)
             return outs
-        t = _util.best_time(f, jax.random.PRNGKey(1)) / CHUNK * 1e3
+        t = _util.pipelined_time(f, jax.random.PRNGKey(1)) / CHUNK * 1e3
         print(f"{stop:12s} cum {t:7.3f} ms   delta {t - prev:7.3f} ms")
         prev = t
 

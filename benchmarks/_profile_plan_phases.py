@@ -128,7 +128,7 @@ def main(argv):
             collision_free = jnp.where(failed, refree, collision_free)
             return collision_free.sum().astype(jnp.float32)
 
-        CHUNK = 10
+        CHUNK = 25
 
         @jax.jit
         def f(key):
@@ -146,7 +146,7 @@ def main(argv):
     key = jax.random.PRNGKey(1)
     for stop in stops:
         f, chunk = phase_fn(stop)
-        t = _util.best_time(f, key) / chunk * 1e3
+        t = _util.pipelined_time(f, key) / chunk * 1e3
         print(f"{stop:12s} cum {t:7.3f} ms   delta {t - prev:7.3f} ms")
         prev = t
 

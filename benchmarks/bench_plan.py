@@ -52,9 +52,14 @@ def main(argv):
         ("plan_ms_lazy_pooled_k2", dict(inflation_downsample=2, rounds=2,
                                         lazy_rounds=1)),
     ]
-    # scan CHUNK plans per call (fresh key each) so the ~2.8 ms tunnel
-    # dispatch amortizes — matching how plan() is consumed inside fly()
-    CHUNK = 10
+    # scan CHUNK plans per call (fresh key each) AND pipeline the calls:
+    # a serialized per-call loop through the axon tunnel pays a flat
+    # ~21 ms/call sync penalty on any jit that captures array constants
+    # (measured round 3 — it inflated every planner figure by ~2.4 ms at
+    # CHUNK=10), on top of the ~2.8 ms dispatch. Pipelined back-to-back
+    # dispatch with one final block leaves ~3.3 ms/call, amortized to
+    # ~0.13 ms by CHUNK=25 — matching how plan() is consumed inside fly().
+    CHUNK = 25
     for name, kw in cases:
         @jax.jit
         def f(key, kw=kw):
@@ -66,7 +71,7 @@ def main(argv):
                 return k, res.num_collision_free
             k, ns = jax.lax.scan(body, key, None, length=CHUNK)
             return ns
-        t = _util.best_time(f, jax.random.PRNGKey(1)) / CHUNK
+        t = _util.pipelined_time(f, jax.random.PRNGKey(1)) / CHUNK
         _util.report(name, t * 1e3, "ms", baseline=None)
         print(f"  # {name}: collision_free="
               f"{int(f(jax.random.PRNGKey(1))[0])}")
