@@ -532,6 +532,81 @@ def build_pyramid_set(params: PlannerParams, depth_u16, seed_px, seed_py,
     )
 
 
+def prefilter_seeds(params: PlannerParams, depth_u16, seed_px, seed_py,
+                    seed_depth, seed_valid, downsample: int = 1):
+    """Sound inflation-failure pre-filter: clears the valid bit of seeds the
+    inflation kernel is guaranteed to reject, without running it.
+
+    Two exact-or-sound conditions (vs pallas_inflate._kernel semantics):
+      * pass-A reproduction: a blocker (ignore < img < min_pyr_depth)
+        inside the seed's initial rectangle fails inflation outright;
+      * shrink overlap: a blocker within (shrink(px,py) + PIXEL_BUFFER) of
+        the seed on BOTH axes defeats every band/corner escape in the edge
+        shrink logic (can_primary, can_hi, can_lo all provably false), so
+        the kernel must fail — whatever the expanded rectangle was.
+
+    Never kills a seed the kernel would accept; callers use it to compact
+    an overseeded batch before paying a kernel grid step per seed (the
+    lazy round in _plan_core overseeds 4x because most raw fail points sit
+    too close to the obstacle that failed them).
+    """
+    cam = params.cam
+    img = depth_u16.astype(jnp.int32)
+    k = int(downsample)
+    if k > 1:
+        # identical pooling to build_pyramid_set (CSEd when jitted together)
+        H, W = cam.height, cam.width
+        BIGD = jnp.int32(1 << 17)
+        ignore_full = (params.true_radius / cam.depth_scale).astype(jnp.int32)
+        masked = jnp.where(img > ignore_full, img, BIGD)
+        img = masked.reshape(H // k, k, W // k, k).min(axis=(1, 3))
+        cam = CameraModel(
+            focal=cam.focal / k, cx=cam.cx / k, cy=cam.cy / k,
+            width=W // k, height=H // k, depth_scale=cam.depth_scale,
+        )
+        seed_px = seed_px / k
+        seed_py = seed_py / k
+    shrink_extra = 1 if k > 1 else 0
+
+    Wd, Hd = int(cam.width), int(cam.height)
+    scale = cam.depth_scale
+    x0i = seed_px.astype(jnp.int32)
+    y0i = seed_py.astype(jnp.int32)
+    edge_off = (cam.focal * params.true_radius
+                / params.min_check_dist).astype(jnp.int32) + shrink_extra
+    min_pyr_depth = (
+        (jnp.asarray(seed_depth, jnp.float32) + params.plan_radius) / scale
+    ).astype(jnp.int32)
+    init_radius = (
+        cam.focal * params.plan_radius
+        / (scale * min_pyr_depth.astype(jnp.float32))
+    ).astype(jnp.int32)
+    ignore = (params.true_radius / scale).astype(jnp.int32)
+    top0 = jnp.where(y0i - init_radius < edge_off, edge_off,
+                     jnp.minimum(Hd - edge_off - 1, y0i + init_radius)
+                     - 2 * init_radius)
+    bottom0 = top0 + 2 * init_radius
+    left0 = jnp.where(x0i - init_radius < edge_off, edge_off,
+                      jnp.minimum(Wd - edge_off - 1, x0i + init_radius)
+                      - 2 * init_radius)
+    right0 = left0 + 2 * init_radius
+    numer = (cam.focal * params.plan_radius / scale).astype(jnp.int32)
+    shrink = numer // jnp.maximum(img, 1) + shrink_extra
+
+    ys = jnp.arange(Hd)[:, None]
+    xs = jnp.arange(Wd)[None, :]
+
+    def doomed(j):
+        blocked = (img > ignore) & (img < min_pyr_depth[j])
+        in_rect0 = ((xs >= left0[j]) & (xs <= right0[j])
+                    & (ys >= top0[j]) & (ys <= bottom0[j]))
+        box = ((jnp.abs(xs - x0i[j]) <= shrink + PIXEL_BUFFER)
+               & (jnp.abs(ys - y0i[j]) <= shrink + PIXEL_BUFFER))
+        return jnp.any(blocked & (in_rect0 | box))
+
+    return seed_valid & ~jax.vmap(doomed)(jnp.arange(seed_px.shape[0]))
+
+
 def merge_pyramid_sets(a: PyramidSet, b: PyramidSet) -> PyramidSet:
     """Union of two sets, re-sorted by depth, keeping a's capacity."""
     capacity = a.depth.shape[0]
@@ -813,6 +888,35 @@ def plan(params: PlannerParams, depth_u16, key, vel0, acc0, grav, goal_cam,
     )
 
 
+LAZY_DEDUPE_PX = 8  # seeds closer than this (px, both axes) duplicate
+LAZY_DEDUPE_Z_QUANTA = 2.0  # ... when their depths are within this many codes
+
+
+def _greedy_seed_dedupe(px, py, z, valid, tol_px, tol_z):
+    """Greedy first-wins dedupe of inflation seeds ordered by priority.
+
+    Seed j is dropped when an earlier KEPT seed i < j lies within tol_px
+    pixels on both axes and tol_z meters in depth — such pairs inflate to
+    near-identical pyramids, and the reference's on-demand inflation never
+    builds two pyramids at the same point (DepthImagePlanner.cpp:270-273:
+    each failed check donates one seed, then re-checks against the grown
+    set before donating again). Sequential by construction (a dropped seed
+    must not suppress its own neighbors), but K is tiny: a K-step
+    fori_loop on (K,) masks.
+    """
+    close = (
+        (jnp.abs(px[:, None] - px[None, :]) <= tol_px)
+        & (jnp.abs(py[:, None] - py[None, :]) <= tol_px)
+        & (jnp.abs(z[:, None] - z[None, :]) <= tol_z)
+    )
+    later = jnp.arange(px.shape[0])[None, :] > jnp.arange(px.shape[0])[:, None]
+
+    def body(j, keep):
+        return keep & ~(keep[j] & close[j] & later[j])
+
+    return jax.lax.fori_loop(0, px.shape[0], body, valid)
+
+
 def _plan_core(params, depth_u16, key, vel0, acc0, grav, goal_cam,
                n_candidates, pyramid_capacity, rounds, inflation_downsample,
                cost_fn, lazy_rounds):
@@ -887,22 +991,37 @@ def _plan_core(params, depth_u16, key, vel0, acc0, grav, goal_cam,
         ).astype(jnp.int32)
         seedable = failed & ((seed_code <= ignore_i) | (seed_code >= minpyr_i))
         order2 = jnp.argsort(jnp.where(seedable, cost, jnp.inf))
-        # consider 4x more candidate fail points than slots: nearby
-        # failures duplicate; build_pyramid_set keeps the best per_round
-        # valid pyramids of the batch.
+        # consider 4x more candidate fail points than slots — most raw fail
+        # points sit right next to the obstacle that failed them and can
+        # never inflate. Inflation is ~86% of lazy-plan time, so don't pay
+        # a kernel grid step per raw fail point: kill provably-doomed seeds
+        # with the sound prefilter, greedy-dedupe near-identical survivors
+        # (cheapest wins), then compact to the front and inflate only
+        # 2x per_round of them.
         take = order2[: 4 * per_round]
         seed_valid = seedable[take]
         covered, _ = jax.vmap(
             lambda x, y, d: find_containing_pyramid(pyrs, x, y, d)
         )(fail_px[take], fail_py[take], fail_z[take])
         seed_valid = seed_valid & ~covered
+        px_t, py_t, z_t = fail_px[take], fail_py[take], fail_z[take]
+        # seed depth = the uncovered point's depth plus one depth-code
+        # quantum: inflate floors (min_depth + plan_radius)/scale to an
+        # int code, so without the bump the pyramid base can land just
+        # below fail_z and find_containing_pyramid still misses
+        seed_depth = z_t + params.cam.depth_scale
+        seed_valid = prefilter_seeds(
+            params, depth_u16, px_t, py_t, seed_depth, seed_valid,
+            downsample=inflation_downsample,
+        )
+        keep = _greedy_seed_dedupe(
+            px_t, py_t, z_t, seed_valid, jnp.float32(LAZY_DEDUPE_PX),
+            LAZY_DEDUPE_Z_QUANTA * params.cam.depth_scale,
+        )
+        sel = jnp.argsort(~keep, stable=True)[: 2 * per_round]
         new_pyrs = build_pyramid_set(
-            params, depth_u16, fail_px[take], fail_py[take],
-            # seed depth = the uncovered point's depth plus one depth-code
-            # quantum: inflate floors (min_depth + plan_radius)/scale to an
-            # int code, so without the bump the pyramid base can land just
-            # below fail_z and find_containing_pyramid still misses
-            fail_z[take] + params.cam.depth_scale, seed_valid, per_round,
+            params, depth_u16, px_t[sel], py_t[sel],
+            seed_depth[sel], keep[sel], per_round,
             downsample=inflation_downsample,
         )
         pyrs = merge_pyramid_sets(pyrs, new_pyrs)
