@@ -189,18 +189,26 @@ def _cadence_patterns(n=40, dt=2000, mocap=5000, offboard=10000,
 
     macc0/oacc0: entry accumulator values (0 = cold start). From any entry
     phase the pattern is immediately periodic with period mocap/gcd(dt,..)
-    = 5 ticks for the default timing."""
-    def pat(period, acc):
-        out = []
-        for _ in range(n):
-            acc += dt
-            f = acc > period
-            if f:
-                acc -= period
-            out.append(bool(f))
-        return out
+    = 5 ticks for the default timing.
 
-    return pat(mocap, macc0), pat(offboard, oacc0)
+    Returns (mocap_flags, offboard_flags, states) where states[i] is the
+    joint (mocap_acc, offboard_acc) pair AFTER tick i — used to align a
+    warm-phase rollout's block boundary onto the canonical orbit point."""
+    mpat, opat, states = [], [], []
+    macc, oacc = macc0, oacc0
+    for _ in range(n):
+        macc += dt
+        mf = macc > mocap
+        if mf:
+            macc -= mocap
+        oacc += dt
+        of = oacc > offboard
+        if of:
+            oacc -= offboard
+        mpat.append(bool(mf))
+        opat.append(bool(of))
+        states.append((macc, oacc))
+    return mpat, opat, states
 
 
 def rollout_fast(params: EnvParams, state: EnvState, cmd: Command,
@@ -242,14 +250,33 @@ def rollout_fast(params: EnvParams, state: EnvState, cmd: Command,
 
     PERIOD = 5
     PROLOGUE = 5  # the joint pattern is periodic with period 5 from tick 1
-    mpat, opat = _cadence_patterns(PROLOGUE + PERIOD, macc0=macc0, oacc0=oacc0)
+    mpat, opat, accs = _cadence_patterns(
+        PROLOGUE + PERIOD, macc0=macc0, oacc0=oacc0)
 
-    outs = []
+    # The scanned 5-tick block must be the SAME program regardless of
+    # entry phase: XLA fuses a rotated arrangement of identical per-block
+    # work up to ~40% worse (measured — BENCH_DETAILS "steady state vs
+    # restart"; A/B showed it is the program, not the data). So align the
+    # warm prologue length to land on the canonical (zero-phase)
+    # block-entry accumulator state and scan the canonical block. The
+    # emitted flag sequence is unchanged — only the prologue/block
+    # boundary moves — so outputs stay bit-identical.
+    c_mpat, c_opat, c_accs = _cadence_patterns(PROLOGUE + PERIOD)
+    block_entry = c_accs[PROLOGUE - 1]
+    if (macc0, oacc0) == (0, 0):
+        pro_len = PROLOGUE
+    elif (macc0, oacc0) == block_entry:
+        pro_len = 0
+    elif block_entry in accs:
+        pro_len = accs.index(block_entry) + 1
+    else:  # off-orbit entry phase: keep the rotated block (still correct)
+        pro_len = PROLOGUE
+        c_mpat, c_opat = mpat, opat
 
     def tick(s, m, o):
         return step_static(params, s, cmd, use_estimator, ctrl_mode, m, o)
 
-    n_pro = min(PROLOGUE, n_steps)
+    n_pro = min(pro_len, n_steps)
     pro_outs = []
     for j in range(n_pro):
         state, out = tick(state, mpat[j], opat[j])
@@ -259,7 +286,8 @@ def rollout_fast(params: EnvParams, state: EnvState, cmd: Command,
     n_blocks = remaining // PERIOD
     tail = remaining - n_blocks * PERIOD
 
-    block_flags = list(zip(mpat[PROLOGUE:PROLOGUE + PERIOD], opat[PROLOGUE:PROLOGUE + PERIOD]))
+    block_flags = list(zip(c_mpat[PROLOGUE:PROLOGUE + PERIOD],
+                           c_opat[PROLOGUE:PROLOGUE + PERIOD]))
 
     def block(carry, _):
         s = carry
