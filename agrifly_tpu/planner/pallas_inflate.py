@@ -19,6 +19,21 @@ The image passes stream over TILE_H-row tiles with scalar accumulators so
 live VMEM intermediates stay ~TILE_H x W instead of ~20 full images (a full
 640x480 materialization of every mask blew the 16 MB VMEM budget).
 
+Every pass loops only over the tiles its mask can actually hit, which is
+bit-exact (a skipped tile contributes only identity elements to the masked
+reductions): the rect passes (1-3 and the column half-sweep) cover rows
+[t, b]; the row half-sweep's below/above searches run as early-exit
+while_loops from the rect edge outward (the first tile containing a match
+bounds the min/max — later tiles are strictly farther); the band/corner
+passes split into top [0, t] / middle [t, b] / bottom [b, H-1] region
+loops, each computing only the bands whose mask intersects that region
+(corners skip the middle entirely). A seed whose initial rectangle is
+blocked (or pre-gated not-ok) early-outs after pass 1 under `lax.cond` —
+its bounds are unspecified by contract (tests/test_pallas_inflate.py) and
+both paths mask them via PyramidSet.valid. Typical pyramids span a
+fraction of the image rows, so this cuts most of the ~8 full-image sweeps
+the flat version paid per seed.
+
 All arithmetic is integer and ordered exactly as the jnp path, so outputs
 are bit-identical (tested in interpret mode and on-device). Semantics match
 DepthImagePlanner.cpp:456-970 through the same conservative reformulation
@@ -74,14 +89,23 @@ def _kernel(seed_ref, img_ref, shrink_ref, out_ref, *, W, H):
         img = img_ref[pl.ds(ti * TH, TH), :]
         return img, ys_base + ti * TH
 
-    # --- pass A: initial rect must be free ---
+    def row_tiles(ya, yb):
+        """fori_loop bounds covering every tile intersecting rows
+        [ya, yb]; exact for arbitrary (even garbage) values — clamped to
+        the image, empty when yb < ya."""
+        ta = jnp.clip(ya // TH, 0, n_tiles)
+        tb = jnp.clip(yb // TH + 1, 0, n_tiles)
+        return ta, jnp.maximum(ta, tb)
+
+    # --- pass A: initial rect must be free (rows [t0, b0] only) ---
     def passA(ti, bad):
         img, ys = tile(ti)
         blocked = (img > ignore) & (img < minpyr)
         in_rect0 = (xs_t >= l0) & (xs_t <= r0) & (ys >= t0) & (ys <= b0)
         return bad | jnp.any(blocked & in_rect0)
 
-    ok = ok & ~jax.lax.fori_loop(0, n_tiles, passA, fbool)
+    taA, tbA = row_tiles(t0, b0)
+    ok = ok & ~jax.lax.fori_loop(taA, tbA, passA, fbool)
 
     # --- max-sweep expansion (same rounds as the jnp path; see
     # rappids.inflate_pyramid). Two tiled half-passes per round: columns
@@ -103,19 +127,42 @@ def _kernel(seed_ref, img_ref, shrink_ref, out_ref, *, W, H):
             last_l = jnp.maximum(last_l, jnp.max(jnp.where(m & (xs_t < l), xs_t, -big)))
             return first_r, last_l
 
-        first_r, last_l = jax.lax.fori_loop(0, n_tiles, half1, (big, -big))
+        ta1, tb1 = row_tiles(t, b)
+        first_r, last_l = jax.lax.fori_loop(ta1, tb1, half1, (big, -big))
         r2 = jnp.maximum(r, jnp.minimum(first_r - 1, W - 1 - edge_off))
         l2 = jnp.minimum(l, jnp.maximum(last_l + 1, edge_off))
 
-        def half2(ti, acc):
-            first_b, last_t = acc
-            img, ys = tile(ti)
-            m = (img > ignore) & (img < minpyr) & (xs_t >= l2) & (xs_t <= r2)
-            first_b = jnp.minimum(first_b, jnp.min(jnp.where(m & (ys > b), ys, big)))
-            last_t = jnp.maximum(last_t, jnp.max(jnp.where(m & (ys < t), ys, -big)))
-            return first_b, last_t
+        # row half-sweep: the below/above searches scan outward from the
+        # rect edge and stop at the first tile containing a match (every
+        # later tile is strictly farther, so the min/max is already final)
+        def bot_cond(st2):
+            ti, first_b = st2
+            return (ti < n_tiles) & (first_b == big)
 
-        first_b, last_t = jax.lax.fori_loop(0, n_tiles, half2, (big, -big))
+        def bot_body(st2):
+            ti, first_b = st2
+            img, ys = tile(ti)
+            m = ((img > ignore) & (img < minpyr)
+                 & (xs_t >= l2) & (xs_t <= r2) & (ys > b))
+            return ti + 1, jnp.minimum(first_b, jnp.min(jnp.where(m, ys, big)))
+
+        _, first_b = jax.lax.while_loop(
+            bot_cond, bot_body, (jnp.maximum((b + 1) // TH, 0), big))
+
+        def top_cond(st2):
+            ti, last_t = st2
+            return (ti >= 0) & (last_t == -big)
+
+        def top_body(st2):
+            ti, last_t = st2
+            img, ys = tile(ti)
+            m = ((img > ignore) & (img < minpyr)
+                 & (xs_t >= l2) & (xs_t <= r2) & (ys < t))
+            return ti - 1, jnp.maximum(last_t, jnp.max(jnp.where(m, ys, -big)))
+
+        _, last_t = jax.lax.while_loop(
+            top_cond, top_body, (jnp.minimum((t - 1) // TH, n_tiles - 1), -big))
+
         b2 = jnp.maximum(b, jnp.minimum(first_b - 1, H - 1 - edge_off))
         t2 = jnp.minimum(t, jnp.maximum(last_t + 1, edge_off))
         ch = (l2 != l) | (r2 != r) | (t2 != t) | (b2 != b)
@@ -132,7 +179,8 @@ def _kernel(seed_ref, img_ref, shrink_ref, out_ref, *, W, H):
         masked = jnp.where((img > ignore) & in_rect, img, big)
         return jnp.minimum(cur, jnp.min(masked))
 
-    maxd = jnp.minimum(jax.lax.fori_loop(0, n_tiles, passB, big), jnp.int32(65535))
+    taB, tbB = row_tiles(t, b)
+    maxd = jnp.minimum(jax.lax.fori_loop(taB, tbB, passB, big), jnp.int32(65535))
 
     # --- pass C: edge-band shrink reductions ---
     r_init = W - 1 - edge_off
@@ -165,18 +213,17 @@ def _kernel(seed_ref, img_ref, shrink_ref, out_ref, *, W, H):
         lo_val = jnp.min(jnp.where(use_lo, alt_lo, big))
         return edge, hi_val, lo_val, jnp.any(fail)
 
-    def passC(ti, acc):
-        (re_, rhi, rlo, rfl, le_, lhi, llo, lfl,
-         te_, thi, tlo, tfl, be_, bhi, blo, bfl) = acc
+    def shrink_tile(ti):
         img, ys = tile(ti)
         relevant = (img > ignore) & (img < maxd)
         shrink = shrink_ref[pl.ds(ti * TH, TH), :]
-        s_right = xs_t - shrink
-        s_left = xs_t + shrink
-        s_top = ys + shrink
-        s_bottom = ys - shrink
+        return relevant, ys, xs_t - shrink, xs_t + shrink, ys + shrink, ys - shrink
+
+    # middle region (rows [t, b]): left/right bands only
+    def passC_mid(ti, acc):
+        re_, rhi, rlo, rfl, le_, lhi, llo, lfl = acc
+        relevant, ys, s_right, s_left, s_top, s_bottom = shrink_tile(ti)
         ys_in = (ys >= t) & (ys <= b)
-        xs_in = (xs_t >= l) & (xs_t <= r)
 
         e, h, lo, f = band_tile(relevant & (xs_t >= r) & ys_in,
                                 s_right, s_top, s_bottom, x0, y0, True)
@@ -186,22 +233,38 @@ def _kernel(seed_ref, img_ref, shrink_ref, out_ref, *, W, H):
                                 s_left, s_top, s_bottom, x0, y0, False)
         le_, lhi, llo, lfl = (jnp.maximum(le_, e), jnp.maximum(lhi, h),
                               jnp.minimum(llo, lo), lfl | f)
+        return re_, rhi, rlo, rfl, le_, lhi, llo, lfl
+
+    # top region (rows [0, t]): top band only
+    def passC_top(ti, acc):
+        te_, thi, tlo, tfl = acc
+        relevant, ys, s_right, s_left, s_top, s_bottom = shrink_tile(ti)
+        xs_in = (xs_t >= l) & (xs_t <= r)
         e, h, lo, f = band_tile(relevant & (ys <= t) & xs_in,
                                 s_top, s_left, s_right, y0, x0, False)
-        te_, thi, tlo, tfl = (jnp.maximum(te_, e), jnp.maximum(thi, h),
-                              jnp.minimum(tlo, lo), tfl | f)
+        return (jnp.maximum(te_, e), jnp.maximum(thi, h),
+                jnp.minimum(tlo, lo), tfl | f)
+
+    # bottom region (rows [b, H-1]): bottom band only
+    def passC_bot(ti, acc):
+        be_, bhi, blo, bfl = acc
+        relevant, ys, s_right, s_left, s_top, s_bottom = shrink_tile(ti)
+        xs_in = (xs_t >= l) & (xs_t <= r)
         e, h, lo, f = band_tile(relevant & (ys >= b) & xs_in,
                                 s_bottom, s_left, s_right, y0, x0, True)
-        be_, bhi, blo, bfl = (jnp.minimum(be_, e), jnp.maximum(bhi, h),
-                              jnp.minimum(blo, lo), bfl | f)
-        return (re_, rhi, rlo, rfl, le_, lhi, llo, lfl,
-                te_, thi, tlo, tfl, be_, bhi, blo, bfl)
+        return (jnp.minimum(be_, e), jnp.maximum(bhi, h),
+                jnp.minimum(blo, lo), bfl | f)
 
-    accC = (big, -big, big, fbool, -big, -big, big, fbool,
-            -big, -big, big, fbool, big, -big, big, fbool)
-    accC = jax.lax.fori_loop(0, n_tiles, passC, accC)
-    (right_e, rt_hi, rt_lo, f1, left_e, lt_hi, lt_lo, f2,
-     top_e, tp_hi, tp_lo, f3, bot_e, bt_hi, bt_lo, f4) = accC
+    taM, tbM = row_tiles(t, b)
+    right_e, rt_hi, rt_lo, f1, left_e, lt_hi, lt_lo, f2 = jax.lax.fori_loop(
+        taM, tbM, passC_mid,
+        (big, -big, big, fbool, -big, -big, big, fbool))
+    taT, tbT = row_tiles(jnp.int32(0), t)
+    top_e, tp_hi, tp_lo, f3 = jax.lax.fori_loop(
+        taT, tbT, passC_top, (-big, -big, big, fbool))
+    taB2, tbB2 = row_tiles(b, jnp.int32(H - 1))
+    bot_e, bt_hi, bt_lo, f4 = jax.lax.fori_loop(
+        taB2, tbB2, passC_bot, (big, -big, big, fbool))
     right_e = jnp.minimum(right_e, r_init)
     left_e = jnp.maximum(left_e, l_init)
     top_e = jnp.maximum(top_e, t_init)
@@ -228,16 +291,10 @@ def _kernel(seed_ref, img_ref, shrink_ref, out_ref, *, W, H):
         b_val = jnp.min(b_val) if b_is_min else jnp.max(b_val)
         return a_val, b_val, jnp.any(both_bad)
 
-    def passD(ti, acc):
-        (tr_r, tr_t, tr_f, br_r, br_b, br_f,
-         tl_l, tl_t, tl_f, bl_l, bl_b, bl_f) = acc
-        img, ys = tile(ti)
-        relevant = (img > ignore) & (img < maxd)
-        shrink = shrink_ref[pl.ds(ti * TH, TH), :]
-        s_right = xs_t - shrink
-        s_left = xs_t + shrink
-        s_top = ys + shrink
-        s_bottom = ys - shrink
+    # top region (rows [0, t]): top-right + top-left corners
+    def passD_top(ti, acc):
+        tr_r, tr_t, tr_f, tl_l, tl_t, tl_f = acc
+        relevant, ys, s_right, s_left, s_top, s_bottom = shrink_tile(ti)
 
         # top-right: right (min) & top (max)
         band = relevant & (xs_t >= r) & (ys <= t) & (s_right < right_f) & (s_top > top_f)
@@ -247,14 +304,6 @@ def _kernel(seed_ref, img_ref, shrink_ref, out_ref, *, W, H):
             (right_f - s_right) * h_span, (s_top - top_f) * w_span)
         tr_r, tr_t, tr_f = jnp.minimum(tr_r, a), jnp.maximum(tr_t, bv), tr_f | f
 
-        # bottom-right: right (min) & bottom (min)
-        band = relevant & (xs_t >= r) & (ys >= b) & (s_right < right_f) & (s_bottom < bottom_f)
-        a, bv, f = corner_tile(
-            band, s_right, True, x0 < s_right - PIXEL_BUFFER,
-            s_bottom, True, y0 < s_bottom - PIXEL_BUFFER,
-            (right_f - s_right) * h_span, (bottom_f - s_bottom) * w_span)
-        br_r, br_b, br_f = jnp.minimum(br_r, a), jnp.minimum(br_b, bv), br_f | f
-
         # top-left: left (max) & top (max)
         band = relevant & (xs_t <= l) & (ys <= t) & (s_left > left_f) & (s_top > top_f)
         a, bv, f = corner_tile(
@@ -262,6 +311,21 @@ def _kernel(seed_ref, img_ref, shrink_ref, out_ref, *, W, H):
             s_top, False, y0 > s_top + PIXEL_BUFFER,
             (s_left - left_f) * h_span, (s_top - top_f) * w_span)
         tl_l, tl_t, tl_f = jnp.maximum(tl_l, a), jnp.maximum(tl_t, bv), tl_f | f
+
+        return tr_r, tr_t, tr_f, tl_l, tl_t, tl_f
+
+    # bottom region (rows [b, H-1]): bottom-right + bottom-left corners
+    def passD_bot(ti, acc):
+        br_r, br_b, br_f, bl_l, bl_b, bl_f = acc
+        relevant, ys, s_right, s_left, s_top, s_bottom = shrink_tile(ti)
+
+        # bottom-right: right (min) & bottom (min)
+        band = relevant & (xs_t >= r) & (ys >= b) & (s_right < right_f) & (s_bottom < bottom_f)
+        a, bv, f = corner_tile(
+            band, s_right, True, x0 < s_right - PIXEL_BUFFER,
+            s_bottom, True, y0 < s_bottom - PIXEL_BUFFER,
+            (right_f - s_right) * h_span, (bottom_f - s_bottom) * w_span)
+        br_r, br_b, br_f = jnp.minimum(br_r, a), jnp.minimum(br_b, bv), br_f | f
 
         # bottom-left: left (max) & bottom (min)
         band = relevant & (xs_t <= l) & (ys >= b) & (s_left > left_f) & (s_bottom < bottom_f)
@@ -271,14 +335,12 @@ def _kernel(seed_ref, img_ref, shrink_ref, out_ref, *, W, H):
             (s_left - left_f) * h_span, (bottom_f - s_bottom) * w_span)
         bl_l, bl_b, bl_f = jnp.maximum(bl_l, a), jnp.minimum(bl_b, bv), bl_f | f
 
-        return (tr_r, tr_t, tr_f, br_r, br_b, br_f,
-                tl_l, tl_t, tl_f, bl_l, bl_b, bl_f)
+        return br_r, br_b, br_f, bl_l, bl_b, bl_f
 
-    accD = (big, -big, fbool, big, big, fbool,
-            -big, -big, fbool, -big, big, fbool)
-    accD = jax.lax.fori_loop(0, n_tiles, passD, accD)
-    (tr_r, tr_t, tr_f, br_r, br_b, br_f,
-     tl_l, tl_t, tl_f, bl_l, bl_b, bl_f) = accD
+    tr_r, tr_t, tr_f, tl_l, tl_t, tl_f = jax.lax.fori_loop(
+        taT, tbT, passD_top, (big, -big, fbool, -big, -big, fbool))
+    br_r, br_b, br_f, bl_l, bl_b, bl_f = jax.lax.fori_loop(
+        taB2, tbB2, passD_bot, (big, big, fbool, -big, big, fbool))
 
     right_f = jnp.minimum(right_f, jnp.minimum(tr_r, br_r))
     top_f = jnp.maximum(top_f, jnp.maximum(tr_t, tl_t))

@@ -56,7 +56,6 @@ def main(argv):
     print(f"ticks (16): {t*1e3:8.3f} ms")
 
     from agrifly_tpu.render import pallas_raycast, raycast
-    from agrifly_tpu.ops import rotation as rot
 
     cam_att = jax.vmap(
         lambda st: raycast.camera_attitude(st.base.plant.att))(state)
@@ -67,13 +66,13 @@ def main(argv):
         def render(args):
             p, a = args
             return pallas_raycast.render_depth_batch(
-                params.render, params.scene, p, a)
+                params.render_cfg, params.scene, p, a)
     else:
         @jax.jit
         def render(args):
             p, a = args
             return jax.vmap(lambda pp, aa: raycast.render_depth(
-                params.render, params.scene, pp, aa))(p, a)
+                params.render_cfg, params.scene, pp, aa))(p, a)
 
     t = _util.pipelined_time(render, (pos, cam_att))
     print(f"render:     {t*1e3:8.3f} ms")
@@ -81,7 +80,6 @@ def main(argv):
     depth = jax.block_until_ready(render((pos, cam_att)))
     from agrifly_tpu.planner import rappids
 
-    du16 = (jnp.asarray(depth) / params.planner.cam.depth_scale).astype(jnp.uint16)
     vel = jnp.tile(jnp.array([0.0, 0.0, 1.5], jnp.float32), (fleet, 1))
     acc = jnp.zeros((fleet, 3), jnp.float32)
     grav = jnp.tile(jnp.array([0.0, 0.0, -9.81], jnp.float32), (fleet, 1))
@@ -93,10 +91,12 @@ def main(argv):
         return jax.vmap(lambda dd, k, v, a, g, gl: rappids.plan(
             params.planner, dd, k, v, a, g, gl,
             n_candidates=params.n_candidates,
-            pyramid_capacity=params.pyramid_capacity).found)(
+            pyramid_capacity=params.pyramid_capacity,
+            rounds=params.planner_rounds,
+            inflation_downsample=params.inflation_downsample).found)(
                 d, pkeys, vel, acc, grav, goal)
 
-    t = _util.pipelined_time(plan, du16)
+    t = _util.pipelined_time(plan, depth)
     print(f"plan:       {t*1e3:8.3f} ms")
 
 
