@@ -28,8 +28,9 @@ bounds the min/max — later tiles are strictly farther); the band/corner
 passes split into top [0, t] / middle [t, b] / bottom [b, H-1] region
 loops, each computing only the bands whose mask intersects that region
 (corners skip the middle entirely). A seed whose initial rectangle is
-blocked (or pre-gated not-ok) early-outs after pass 1 under `lax.cond` —
-its bounds are unspecified by contract (tests/test_pallas_inflate.py) and
+blocked (or pre-gated not-ok) early-outs after pass 1 via trip-count
+gating — every later tile loop collapses to zero iterations — so its
+bounds are unspecified by contract (tests/test_pallas_inflate.py) and
 both paths mask them via PyramidSet.valid. Typical pyramids span a
 fraction of the image rows, so this cuts most of the ~8 full-image sweeps
 the flat version paid per seed.
@@ -107,6 +108,18 @@ def _kernel(seed_ref, img_ref, shrink_ref, out_ref, *, W, H):
     taA, tbA = row_tiles(t0, b0)
     ok = ok & ~jax.lax.fori_loop(taA, tbA, passA, fbool)
 
+    # Blocked-seed early-out: every later pass gates its tile-loop trip
+    # count on `ok` (empty fori ranges / a dead expansion while_loop), so
+    # a blocked or pre-gated seed pays pass A only. Unlike a lax.cond
+    # around the remaining passes (which duplicates the whole region and
+    # stalls the Mosaic compiler), trip-count gating costs nothing to
+    # compile. The skipped seed's bounds are loop-identity garbage —
+    # unspecified by contract (tests/test_pallas_inflate.py); consumers
+    # mask via PyramidSet.valid, and final `ok` stays False regardless.
+    def gated(bounds):
+        ta, tb = bounds
+        return ta, jnp.where(ok, tb, ta)
+
     # --- max-sweep expansion (same rounds as the jnp path; see
     # rappids.inflate_pyramid). Two tiled half-passes per round: columns
     # within [t, b], then rows within the updated [l2, r2]. ---
@@ -169,7 +182,7 @@ def _kernel(seed_ref, img_ref, shrink_ref, out_ref, *, W, H):
         return (l2, r2, t2, b2, rounds + 1, ch)
 
     l, r, t, b, *_ = jax.lax.while_loop(
-        cond, body, (l0, r0, t0, b0, jnp.int32(0), tbool)
+        cond, body, (l0, r0, t0, b0, jnp.int32(0), ok)
     )
 
     # --- pass B: base depth = min unmasked depth inside the expanded rect ---
@@ -179,7 +192,7 @@ def _kernel(seed_ref, img_ref, shrink_ref, out_ref, *, W, H):
         masked = jnp.where((img > ignore) & in_rect, img, big)
         return jnp.minimum(cur, jnp.min(masked))
 
-    taB, tbB = row_tiles(t, b)
+    taB, tbB = gated(row_tiles(t, b))
     maxd = jnp.minimum(jax.lax.fori_loop(taB, tbB, passB, big), jnp.int32(65535))
 
     # --- pass C: edge-band shrink reductions ---
@@ -255,14 +268,14 @@ def _kernel(seed_ref, img_ref, shrink_ref, out_ref, *, W, H):
         return (jnp.minimum(be_, e), jnp.maximum(bhi, h),
                 jnp.minimum(blo, lo), bfl | f)
 
-    taM, tbM = row_tiles(t, b)
+    taM, tbM = gated(row_tiles(t, b))
     right_e, rt_hi, rt_lo, f1, left_e, lt_hi, lt_lo, f2 = jax.lax.fori_loop(
         taM, tbM, passC_mid,
         (big, -big, big, fbool, -big, -big, big, fbool))
-    taT, tbT = row_tiles(jnp.int32(0), t)
+    taT, tbT = gated(row_tiles(jnp.int32(0), t))
     top_e, tp_hi, tp_lo, f3 = jax.lax.fori_loop(
         taT, tbT, passC_top, (-big, -big, big, fbool))
-    taB2, tbB2 = row_tiles(b, jnp.int32(H - 1))
+    taB2, tbB2 = gated(row_tiles(b, jnp.int32(H - 1)))
     bot_e, bt_hi, bt_lo, f4 = jax.lax.fori_loop(
         taB2, tbB2, passC_bot, (big, -big, big, fbool))
     right_e = jnp.minimum(right_e, r_init)
