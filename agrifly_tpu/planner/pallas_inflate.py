@@ -63,7 +63,7 @@ def _tile_h(H: int) -> int:
     return H
 
 
-def _kernel(seed_ref, img_ref, shrink_ref, out_ref, *, W, H):
+def _kernel(seed_ref, img_ref, shrink_ref, out_ref, *, W, H, TH):
     """One seed's full inflation. seed_ref row layout (int32):
     [x0, y0, min_pyr_depth, l0, r0, t0, b0, ok0, edge_off, ignore, 0, 0]."""
     p = pl.program_id(0)
@@ -78,7 +78,6 @@ def _kernel(seed_ref, img_ref, shrink_ref, out_ref, *, W, H):
     edge_off = seed_ref[p, 8]
     ignore = seed_ref[p, 9]
 
-    TH = _tile_h(H)
     n_tiles = H // TH
     xs_t = jax.lax.broadcasted_iota(jnp.int32, (TH, W), 1)
     ys_base = jax.lax.broadcasted_iota(jnp.int32, (TH, W), 0)
@@ -375,7 +374,8 @@ def _kernel(seed_ref, img_ref, shrink_ref, out_ref, *, W, H):
 
 
 def inflate_pyramids(params, depth_u16, x0s, y0s, min_depths,
-                     shrink_extra: int = 0, interpret: bool = False):
+                     shrink_extra: int = 0, interpret: bool = False,
+                     tile_h: int | None = None):
     """Batched pyramid inflation on TPU. Same contract as
     jax.vmap(rappids.inflate_pyramid) restricted to its integer stage:
     returns (ok (P,) bool, maxd (P,) int32 expanded-rect min depth,
@@ -424,7 +424,10 @@ def inflate_pyramids(params, depth_u16, x0s, y0s, min_depths,
         axis=1,
     )  # (P, 12)
 
-    kernel = functools.partial(_kernel, W=W, H=H)
+    TH = _tile_h(H) if tile_h is None else int(tile_h)
+    if H % TH != 0 or TH % 8 != 0:
+        raise ValueError(f"tile_h={TH} must divide H={H} and be a multiple of 8")
+    kernel = functools.partial(_kernel, W=W, H=H, TH=TH)
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((P, 8), jnp.int32),
