@@ -85,3 +85,27 @@ def test_build_pyramid_set_pallas_parity():
             np.testing.assert_allclose(np.asarray(a.normals)[v], np.asarray(b.normals)[v])
     finally:
         pi.inflate_pyramids = orig
+
+
+@pytest.mark.parametrize("tile_h", [8, 24, 40, 120])
+def test_tile_h_invariance(tile_h):
+    """Outputs are bit-identical for any legal tile height (the region
+    bounds change which tiles are visited, never what they contribute)."""
+    W, H = 160, 120
+    cam = rappids.make_camera(W, H, focal=W / 2.0)
+    params = rappids.make_params(cam, 0.116, 0.174)
+    img = make_scene(W, H, 8, seed=11)
+    P = 16
+    x0 = jax.random.randint(jax.random.PRNGKey(7), (P,), 2, W - 2)
+    y0 = jax.random.randint(jax.random.PRNGKey(8), (P,), 2, H - 2)
+    md = jax.random.uniform(jax.random.PRNGKey(9), (P,), jnp.float32, 1.5, 3.0)
+
+    ok_d, maxd_d, edges_d = pallas_inflate.inflate_pyramids(
+        params, img, x0, y0, md, interpret=True)
+    ok_t, maxd_t, edges_t = pallas_inflate.inflate_pyramids(
+        params, img, x0, y0, md, interpret=True, tile_h=tile_h)
+    okd = np.asarray(ok_d)
+    assert okd.sum() >= 3
+    np.testing.assert_array_equal(okd, np.asarray(ok_t))
+    np.testing.assert_array_equal(np.asarray(maxd_d)[okd], np.asarray(maxd_t)[okd])
+    np.testing.assert_array_equal(np.asarray(edges_d)[okd], np.asarray(edges_t)[okd])
