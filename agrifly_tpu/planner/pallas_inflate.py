@@ -9,31 +9,34 @@ shared shrink-distance table) resident in VMEM and runs the *entire* inflation f
 
   grid = (P,); per program:
     1. initial-rectangle blockage check   (tiled masked any)
-    2. max-sweep rectangle expansion      (bounded while_loop, two tiled
-       half-passes per round; see rappids.inflate_pyramid)
+    2. max-sweep rectangle expansion      (bounded while_loop, early-exit
+       outward searches; see rappids.inflate_pyramid)
     3. base depth over the expanded rect  (tiled masked min)
     4. edge-band shrink reductions        (tiled, 4 bands x 4 accumulators)
     5. corner-band shrink reductions      (tiled, 4 corners)
 
-The image passes stream over TILE_H-row tiles with scalar accumulators so
-live VMEM intermediates stay ~TILE_H x W instead of ~20 full images (a full
-640x480 materialization of every mask blew the 16 MB VMEM budget).
+The image passes stream over (TILE_H, TILE_W) tiles with scalar
+accumulators so live VMEM intermediates stay tiny (a full 640x480
+materialization of every mask blew the 16 MB VMEM budget). The image and
+shrink table are pre-laid-out column-tile-major — (n_col_tiles * H,
+TILE_W) with TILE_W = one 128-lane vreg row — so a (ti, tj) tile is a
+dynamic SUBLANE slice (lane-dim dynamic starts don't lower in Mosaic).
 
-Every pass loops only over the tiles its mask can actually hit, which is
-bit-exact (a skipped tile contributes only identity elements to the masked
-reductions): the rect passes (1-3 and the column half-sweep) cover rows
-[t, b]; the row half-sweep's below/above searches run as early-exit
-while_loops from the rect edge outward (the first tile containing a match
-bounds the min/max — later tiles are strictly farther); the band/corner
-passes split into top [0, t] / middle [t, b] / bottom [b, H-1] region
-loops, each computing only the bands whose mask intersects that region
-(corners skip the middle entirely). A seed whose initial rectangle is
-blocked (or pre-gated not-ok) early-outs after pass 1 via trip-count
-gating — every later tile loop collapses to zero iterations — so its
-bounds are unspecified by contract (tests/test_pallas_inflate.py) and
-both paths mask them via PyramidSet.valid. Typical pyramids span a
-fraction of the image rows, so this cuts most of the ~8 full-image sweeps
-the flat version paid per seed.
+Every pass loops only over the tiles its mask can actually hit, in BOTH
+dimensions, which is bit-exact (a skipped tile contributes only identity
+elements to the masked reductions): rect passes (1, 3) cover rows [t, b]
+x cols [l, r]; the expansion's four searches run as early-exit while
+sweeps outward from the rect edge (the first tile line containing a match
+bounds the min/max — later lines are strictly farther); the edge-band
+passes cover only their band's region (left/right bands span cols
+[0, l] / [r, W-1] of rows [t, b] — the rect interior is in no band);
+the corner passes cover only their quadrant. A seed whose initial
+rectangle is blocked (or pre-gated not-ok) early-outs after pass 1 via
+trip-count gating — every later tile loop collapses to zero iterations —
+so its bounds are unspecified by contract (tests/test_pallas_inflate.py)
+and both paths mask them via PyramidSet.valid. Typical pyramids span a
+fraction of the image in both axes, so this cuts most of the ~8
+full-image sweeps the flat version paid per seed.
 
 All arithmetic is integer and ordered exactly as the jnp path, so outputs
 are bit-identical (tested in interpret mode and on-device). Semantics match
@@ -63,9 +66,20 @@ def _tile_h(H: int) -> int:
     return H
 
 
-def _kernel(seed_ref, img_ref, shrink_ref, out_ref, *, W, H, TH):
+def _tile_w(W: int) -> int:
+    """Largest divisor of W that is <= 128 (one vreg of lanes); small test
+    images (W 80/160) only run in interpret mode where lane width is moot."""
+    for t in range(128, 0, -1):
+        if W % t == 0:
+            return t
+    return W
+
+
+def _kernel(seed_ref, img_ref, shrink_ref, out_ref, *, W, H, TH, TW):
     """One seed's full inflation. seed_ref row layout (int32):
-    [x0, y0, min_pyr_depth, l0, r0, t0, b0, ok0, edge_off, ignore, 0, 0]."""
+    [x0, y0, min_pyr_depth, l0, r0, t0, b0, ok0, edge_off, ignore, 0, 0].
+    img_ref/shrink_ref are column-tile-major: (n_tj * H, TW), tile (ti,
+    tj) at rows [tj * H + ti * TH, +TH)."""
     p = pl.program_id(0)
     x0 = seed_ref[p, 0]
     y0 = seed_ref[p, 1]
@@ -78,36 +92,52 @@ def _kernel(seed_ref, img_ref, shrink_ref, out_ref, *, W, H, TH):
     edge_off = seed_ref[p, 8]
     ignore = seed_ref[p, 9]
 
-    n_tiles = H // TH
-    xs_t = jax.lax.broadcasted_iota(jnp.int32, (TH, W), 1)
-    ys_base = jax.lax.broadcasted_iota(jnp.int32, (TH, W), 0)
+    n_ti = H // TH
+    n_tj = W // TW
+    xs_base = jax.lax.broadcasted_iota(jnp.int32, (TH, TW), 1)
+    ys_base = jax.lax.broadcasted_iota(jnp.int32, (TH, TW), 0)
     big = jnp.int32(BIG)
-    tbool = jnp.bool_(True)
     fbool = jnp.bool_(False)
 
-    def tile(ti):
-        img = img_ref[pl.ds(ti * TH, TH), :]
-        return img, ys_base + ti * TH
+    def tile(ti, tj):
+        img = img_ref[pl.ds(tj * H + ti * TH, TH), :]
+        return img, ys_base + ti * TH, xs_base + tj * TW
 
     def row_tiles(ya, yb):
-        """fori_loop bounds covering every tile intersecting rows
+        """fori_loop bounds covering every row tile intersecting rows
         [ya, yb]; exact for arbitrary (even garbage) values — clamped to
         the image, empty when yb < ya."""
-        ta = jnp.clip(ya // TH, 0, n_tiles)
-        tb = jnp.clip(yb // TH + 1, 0, n_tiles)
+        ta = jnp.clip(ya // TH, 0, n_ti)
+        tb = jnp.clip(yb // TH + 1, 0, n_ti)
         return ta, jnp.maximum(ta, tb)
 
-    # --- pass A: initial rect must be free (rows [t0, b0] only) ---
-    def passA(ti, bad):
-        img, ys = tile(ti)
+    def col_tiles(xa, xb):
+        ta = jnp.clip(xa // TW, 0, n_tj)
+        tb = jnp.clip(xb // TW + 1, 0, n_tj)
+        return ta, jnp.maximum(ta, tb)
+
+    def region(ya, yb, xa, xb, body, init):
+        """Nested fori over every (ti, tj) tile intersecting rows [ya, yb]
+        x cols [xa, xb]; body(ti, tj, acc) -> acc."""
+        ra, rb = row_tiles(ya, yb)
+        ca, cb = col_tiles(xa, xb)
+
+        def rows(ti, acc):
+            return jax.lax.fori_loop(
+                ca, cb, lambda tj, a: body(ti, tj, a), acc)
+
+        return jax.lax.fori_loop(ra, rb, rows, init)
+
+    # --- pass A: initial rect must be free (rows [t0, b0] x cols [l0, r0]) ---
+    def passA(ti, tj, bad):
+        img, ys, xs = tile(ti, tj)
         blocked = (img > ignore) & (img < minpyr)
-        in_rect0 = (xs_t >= l0) & (xs_t <= r0) & (ys >= t0) & (ys <= b0)
+        in_rect0 = (xs >= l0) & (xs <= r0) & (ys >= t0) & (ys <= b0)
         return bad | jnp.any(blocked & in_rect0)
 
-    taA, tbA = row_tiles(t0, b0)
-    ok = ok & ~jax.lax.fori_loop(taA, tbA, passA, fbool)
+    ok = ok & ~region(t0, b0, l0, r0, passA, fbool)
 
-    # Blocked-seed early-out: every later pass gates its tile-loop trip
+    # Blocked-seed early-out: every later pass gates its row-tile trip
     # count on `ok` (empty fori ranges / a dead expansion while_loop), so
     # a blocked or pre-gated seed pays pass A only. Unlike a lax.cond
     # around the remaining passes (which duplicates the whole region and
@@ -119,9 +149,22 @@ def _kernel(seed_ref, img_ref, shrink_ref, out_ref, *, W, H, TH):
         ta, tb = bounds
         return ta, jnp.where(ok, tb, ta)
 
+    def gregion(ya, yb, xa, xb, body, init):
+        ra, rb = gated(row_tiles(ya, yb))
+        ca, cb = col_tiles(xa, xb)
+
+        def rows(ti, acc):
+            return jax.lax.fori_loop(
+                ca, cb, lambda tj, a: body(ti, tj, a), acc)
+
+        return jax.lax.fori_loop(ra, rb, rows, init)
+
     # --- max-sweep expansion (same rounds as the jnp path; see
-    # rappids.inflate_pyramid). Two tiled half-passes per round: columns
-    # within [t, b], then rows within the updated [l2, r2]. ---
+    # rappids.inflate_pyramid). Four early-exit searches per round: the
+    # first blocked column right of r / left of l within rows [t, b],
+    # then the first blocked row below b / above t within the updated
+    # [l2, r2]. Outward sweeps stop at the first tile line containing a
+    # match (every later line is strictly farther). ---
     EXPAND_ROUNDS = 8
 
     def cond(st):
@@ -130,33 +173,69 @@ def _kernel(seed_ref, img_ref, shrink_ref, out_ref, *, W, H, TH):
 
     def body(st):
         l, r, t, b, rounds, _ = st
+        ra, rb = row_tiles(t, b)
 
-        def half1(ti, acc):
-            first_r, last_l = acc
-            img, ys = tile(ti)
-            m = (img > ignore) & (img < minpyr) & (ys >= t) & (ys <= b)
-            first_r = jnp.minimum(first_r, jnp.min(jnp.where(m & (xs_t > r), xs_t, big)))
-            last_l = jnp.maximum(last_l, jnp.max(jnp.where(m & (xs_t < l), xs_t, -big)))
-            return first_r, last_l
+        def col_line(tj, xmask_of):
+            """Masked min/max of xs over col-tile tj, rows [t, b]."""
+            def one(ti, acc):
+                mn, mx = acc
+                img, ys, xs = tile(ti, tj)
+                m = ((img > ignore) & (img < minpyr)
+                     & (ys >= t) & (ys <= b) & xmask_of(xs))
+                mn = jnp.minimum(mn, jnp.min(jnp.where(m, xs, big)))
+                mx = jnp.maximum(mx, jnp.max(jnp.where(m, xs, -big)))
+                return mn, mx
+            return jax.lax.fori_loop(ra, rb, one, (big, -big))
 
-        ta1, tb1 = row_tiles(t, b)
-        first_r, last_l = jax.lax.fori_loop(ta1, tb1, half1, (big, -big))
+        def right_cond(st2):
+            tj, first_r = st2
+            return (tj < n_tj) & (first_r == big)
+
+        def right_body(st2):
+            tj, first_r = st2
+            mn, _ = col_line(tj, lambda xs: xs > r)
+            return tj + 1, jnp.minimum(first_r, mn)
+
+        _, first_r = jax.lax.while_loop(
+            right_cond, right_body, (jnp.maximum((r + 1) // TW, 0), big))
+
+        def left_cond(st2):
+            tj, last_l = st2
+            return (tj >= 0) & (last_l == -big)
+
+        def left_body(st2):
+            tj, last_l = st2
+            _, mx = col_line(tj, lambda xs: xs < l)
+            return tj - 1, jnp.maximum(last_l, mx)
+
+        _, last_l = jax.lax.while_loop(
+            left_cond, left_body, (jnp.minimum((l - 1) // TW, n_tj - 1), -big))
+
         r2 = jnp.maximum(r, jnp.minimum(first_r - 1, W - 1 - edge_off))
         l2 = jnp.minimum(l, jnp.maximum(last_l + 1, edge_off))
 
-        # row half-sweep: the below/above searches scan outward from the
-        # rect edge and stop at the first tile containing a match (every
-        # later tile is strictly farther, so the min/max is already final)
+        ca2, cb2 = col_tiles(l2, r2)
+
+        def row_line(ti, ymask_of):
+            """Masked min/max of ys over row-tile ti, cols [l2, r2]."""
+            def one(tj, acc):
+                mn, mx = acc
+                img, ys, xs = tile(ti, tj)
+                m = ((img > ignore) & (img < minpyr)
+                     & (xs >= l2) & (xs <= r2) & ymask_of(ys))
+                mn = jnp.minimum(mn, jnp.min(jnp.where(m, ys, big)))
+                mx = jnp.maximum(mx, jnp.max(jnp.where(m, ys, -big)))
+                return mn, mx
+            return jax.lax.fori_loop(ca2, cb2, one, (big, -big))
+
         def bot_cond(st2):
             ti, first_b = st2
-            return (ti < n_tiles) & (first_b == big)
+            return (ti < n_ti) & (first_b == big)
 
         def bot_body(st2):
             ti, first_b = st2
-            img, ys = tile(ti)
-            m = ((img > ignore) & (img < minpyr)
-                 & (xs_t >= l2) & (xs_t <= r2) & (ys > b))
-            return ti + 1, jnp.minimum(first_b, jnp.min(jnp.where(m, ys, big)))
+            mn, _ = row_line(ti, lambda ys: ys > b)
+            return ti + 1, jnp.minimum(first_b, mn)
 
         _, first_b = jax.lax.while_loop(
             bot_cond, bot_body, (jnp.maximum((b + 1) // TH, 0), big))
@@ -167,13 +246,11 @@ def _kernel(seed_ref, img_ref, shrink_ref, out_ref, *, W, H, TH):
 
         def top_body(st2):
             ti, last_t = st2
-            img, ys = tile(ti)
-            m = ((img > ignore) & (img < minpyr)
-                 & (xs_t >= l2) & (xs_t <= r2) & (ys < t))
-            return ti - 1, jnp.maximum(last_t, jnp.max(jnp.where(m, ys, -big)))
+            _, mx = row_line(ti, lambda ys: ys < t)
+            return ti - 1, jnp.maximum(last_t, mx)
 
         _, last_t = jax.lax.while_loop(
-            top_cond, top_body, (jnp.minimum((t - 1) // TH, n_tiles - 1), -big))
+            top_cond, top_body, (jnp.minimum((t - 1) // TH, n_ti - 1), -big))
 
         b2 = jnp.maximum(b, jnp.minimum(first_b - 1, H - 1 - edge_off))
         t2 = jnp.minimum(t, jnp.maximum(last_t + 1, edge_off))
@@ -185,14 +262,13 @@ def _kernel(seed_ref, img_ref, shrink_ref, out_ref, *, W, H, TH):
     )
 
     # --- pass B: base depth = min unmasked depth inside the expanded rect ---
-    def passB(ti, cur):
-        img, ys = tile(ti)
-        in_rect = (xs_t >= l) & (xs_t <= r) & (ys >= t) & (ys <= b)
+    def passB(ti, tj, cur):
+        img, ys, xs = tile(ti, tj)
+        in_rect = (xs >= l) & (xs <= r) & (ys >= t) & (ys <= b)
         masked = jnp.where((img > ignore) & in_rect, img, big)
         return jnp.minimum(cur, jnp.min(masked))
 
-    taB, tbB = gated(row_tiles(t, b))
-    maxd = jnp.minimum(jax.lax.fori_loop(taB, tbB, passB, big), jnp.int32(65535))
+    maxd = jnp.minimum(gregion(t, b, l, r, passB, big), jnp.int32(65535))
 
     # --- pass C: edge-band shrink reductions ---
     r_init = W - 1 - edge_off
@@ -225,58 +301,56 @@ def _kernel(seed_ref, img_ref, shrink_ref, out_ref, *, W, H, TH):
         lo_val = jnp.min(jnp.where(use_lo, alt_lo, big))
         return edge, hi_val, lo_val, jnp.any(fail)
 
-    def shrink_tile(ti):
-        img, ys = tile(ti)
+    def shrink_tile(ti, tj):
+        img, ys, xs = tile(ti, tj)
         relevant = (img > ignore) & (img < maxd)
-        shrink = shrink_ref[pl.ds(ti * TH, TH), :]
-        return relevant, ys, xs_t - shrink, xs_t + shrink, ys + shrink, ys - shrink
+        shrink = shrink_ref[pl.ds(tj * H + ti * TH, TH), :]
+        return relevant, ys, xs, xs - shrink, xs + shrink, ys + shrink, ys - shrink
 
-    # middle region (rows [t, b]): left/right bands only
-    def passC_mid(ti, acc):
-        re_, rhi, rlo, rfl, le_, lhi, llo, lfl = acc
-        relevant, ys, s_right, s_left, s_top, s_bottom = shrink_tile(ti)
-        ys_in = (ys >= t) & (ys <= b)
+    # right band: rows [t, b] x cols [r, W-1]
+    def passC_right(ti, tj, acc):
+        re_, rhi, rlo, rfl = acc
+        relevant, ys, xs, s_right, s_left, s_top, s_bottom = shrink_tile(ti, tj)
+        band = relevant & (xs >= r) & (ys >= t) & (ys <= b)
+        e, h, lo, f = band_tile(band, s_right, s_top, s_bottom, x0, y0, True)
+        return (jnp.minimum(re_, e), jnp.maximum(rhi, h),
+                jnp.minimum(rlo, lo), rfl | f)
 
-        e, h, lo, f = band_tile(relevant & (xs_t >= r) & ys_in,
-                                s_right, s_top, s_bottom, x0, y0, True)
-        re_, rhi, rlo, rfl = (jnp.minimum(re_, e), jnp.maximum(rhi, h),
-                              jnp.minimum(rlo, lo), rfl | f)
-        e, h, lo, f = band_tile(relevant & (xs_t <= l) & ys_in,
-                                s_left, s_top, s_bottom, x0, y0, False)
-        le_, lhi, llo, lfl = (jnp.maximum(le_, e), jnp.maximum(lhi, h),
-                              jnp.minimum(llo, lo), lfl | f)
-        return re_, rhi, rlo, rfl, le_, lhi, llo, lfl
+    # left band: rows [t, b] x cols [0, l]
+    def passC_left(ti, tj, acc):
+        le_, lhi, llo, lfl = acc
+        relevant, ys, xs, s_right, s_left, s_top, s_bottom = shrink_tile(ti, tj)
+        band = relevant & (xs <= l) & (ys >= t) & (ys <= b)
+        e, h, lo, f = band_tile(band, s_left, s_top, s_bottom, x0, y0, False)
+        return (jnp.maximum(le_, e), jnp.maximum(lhi, h),
+                jnp.minimum(llo, lo), lfl | f)
 
-    # top region (rows [0, t]): top band only
-    def passC_top(ti, acc):
+    # top band: rows [0, t] x cols [l, r]
+    def passC_top(ti, tj, acc):
         te_, thi, tlo, tfl = acc
-        relevant, ys, s_right, s_left, s_top, s_bottom = shrink_tile(ti)
-        xs_in = (xs_t >= l) & (xs_t <= r)
-        e, h, lo, f = band_tile(relevant & (ys <= t) & xs_in,
-                                s_top, s_left, s_right, y0, x0, False)
+        relevant, ys, xs, s_right, s_left, s_top, s_bottom = shrink_tile(ti, tj)
+        band = relevant & (ys <= t) & (xs >= l) & (xs <= r)
+        e, h, lo, f = band_tile(band, s_top, s_left, s_right, y0, x0, False)
         return (jnp.maximum(te_, e), jnp.maximum(thi, h),
                 jnp.minimum(tlo, lo), tfl | f)
 
-    # bottom region (rows [b, H-1]): bottom band only
-    def passC_bot(ti, acc):
+    # bottom band: rows [b, H-1] x cols [l, r]
+    def passC_bot(ti, tj, acc):
         be_, bhi, blo, bfl = acc
-        relevant, ys, s_right, s_left, s_top, s_bottom = shrink_tile(ti)
-        xs_in = (xs_t >= l) & (xs_t <= r)
-        e, h, lo, f = band_tile(relevant & (ys >= b) & xs_in,
-                                s_bottom, s_left, s_right, y0, x0, True)
+        relevant, ys, xs, s_right, s_left, s_top, s_bottom = shrink_tile(ti, tj)
+        band = relevant & (ys >= b) & (xs >= l) & (xs <= r)
+        e, h, lo, f = band_tile(band, s_bottom, s_left, s_right, y0, x0, True)
         return (jnp.minimum(be_, e), jnp.maximum(bhi, h),
                 jnp.minimum(blo, lo), bfl | f)
 
-    taM, tbM = gated(row_tiles(t, b))
-    right_e, rt_hi, rt_lo, f1, left_e, lt_hi, lt_lo, f2 = jax.lax.fori_loop(
-        taM, tbM, passC_mid,
-        (big, -big, big, fbool, -big, -big, big, fbool))
-    taT, tbT = gated(row_tiles(jnp.int32(0), t))
-    top_e, tp_hi, tp_lo, f3 = jax.lax.fori_loop(
-        taT, tbT, passC_top, (-big, -big, big, fbool))
-    taB2, tbB2 = gated(row_tiles(b, jnp.int32(H - 1)))
-    bot_e, bt_hi, bt_lo, f4 = jax.lax.fori_loop(
-        taB2, tbB2, passC_bot, (big, -big, big, fbool))
+    right_e, rt_hi, rt_lo, f1 = gregion(
+        t, b, r, jnp.int32(W - 1), passC_right, (big, -big, big, fbool))
+    left_e, lt_hi, lt_lo, f2 = gregion(
+        t, b, jnp.int32(0), l, passC_left, (-big, -big, big, fbool))
+    top_e, tp_hi, tp_lo, f3 = gregion(
+        jnp.int32(0), t, l, r, passC_top, (-big, -big, big, fbool))
+    bot_e, bt_hi, bt_lo, f4 = gregion(
+        b, jnp.int32(H - 1), l, r, passC_bot, (big, -big, big, fbool))
     right_e = jnp.minimum(right_e, r_init)
     left_e = jnp.maximum(left_e, l_init)
     top_e = jnp.maximum(top_e, t_init)
@@ -288,7 +362,7 @@ def _kernel(seed_ref, img_ref, shrink_ref, out_ref, *, W, H, TH):
     top_f = jnp.maximum(top_e, jnp.maximum(rt_hi, lt_hi))
     bottom_f = jnp.minimum(bot_e, jnp.minimum(rt_lo, lt_lo))
 
-    # --- pass D: corner-band shrink reductions ---
+    # --- pass D: corner-band shrink reductions (one quadrant each) ---
     h_span = jnp.maximum(bottom_f - top_f, 1)
     w_span = jnp.maximum(right_f - left_f, 1)
 
@@ -303,56 +377,62 @@ def _kernel(seed_ref, img_ref, shrink_ref, out_ref, *, W, H, TH):
         b_val = jnp.min(b_val) if b_is_min else jnp.max(b_val)
         return a_val, b_val, jnp.any(both_bad)
 
-    # top region (rows [0, t]): top-right + top-left corners
-    def passD_top(ti, acc):
-        tr_r, tr_t, tr_f, tl_l, tl_t, tl_f = acc
-        relevant, ys, s_right, s_left, s_top, s_bottom = shrink_tile(ti)
-
-        # top-right: right (min) & top (max)
-        band = relevant & (xs_t >= r) & (ys <= t) & (s_right < right_f) & (s_top > top_f)
+    # top-right: rows [0, t] x cols [r, W-1]; right (min) & top (max)
+    def passD_tr(ti, tj, acc):
+        tr_r, tr_t, tr_f = acc
+        relevant, ys, xs, s_right, s_left, s_top, s_bottom = shrink_tile(ti, tj)
+        band = (relevant & (xs >= r) & (ys <= t)
+                & (s_right < right_f) & (s_top > top_f))
         a, bv, f = corner_tile(
             band, s_right, True, x0 < s_right - PIXEL_BUFFER,
             s_top, False, y0 > s_top + PIXEL_BUFFER,
             (right_f - s_right) * h_span, (s_top - top_f) * w_span)
-        tr_r, tr_t, tr_f = jnp.minimum(tr_r, a), jnp.maximum(tr_t, bv), tr_f | f
+        return jnp.minimum(tr_r, a), jnp.maximum(tr_t, bv), tr_f | f
 
-        # top-left: left (max) & top (max)
-        band = relevant & (xs_t <= l) & (ys <= t) & (s_left > left_f) & (s_top > top_f)
+    # top-left: rows [0, t] x cols [0, l]; left (max) & top (max)
+    def passD_tl(ti, tj, acc):
+        tl_l, tl_t, tl_f = acc
+        relevant, ys, xs, s_right, s_left, s_top, s_bottom = shrink_tile(ti, tj)
+        band = (relevant & (xs <= l) & (ys <= t)
+                & (s_left > left_f) & (s_top > top_f))
         a, bv, f = corner_tile(
             band, s_left, False, x0 > s_left + PIXEL_BUFFER,
             s_top, False, y0 > s_top + PIXEL_BUFFER,
             (s_left - left_f) * h_span, (s_top - top_f) * w_span)
-        tl_l, tl_t, tl_f = jnp.maximum(tl_l, a), jnp.maximum(tl_t, bv), tl_f | f
+        return jnp.maximum(tl_l, a), jnp.maximum(tl_t, bv), tl_f | f
 
-        return tr_r, tr_t, tr_f, tl_l, tl_t, tl_f
-
-    # bottom region (rows [b, H-1]): bottom-right + bottom-left corners
-    def passD_bot(ti, acc):
-        br_r, br_b, br_f, bl_l, bl_b, bl_f = acc
-        relevant, ys, s_right, s_left, s_top, s_bottom = shrink_tile(ti)
-
-        # bottom-right: right (min) & bottom (min)
-        band = relevant & (xs_t >= r) & (ys >= b) & (s_right < right_f) & (s_bottom < bottom_f)
+    # bottom-right: rows [b, H-1] x cols [r, W-1]; right (min) & bottom (min)
+    def passD_br(ti, tj, acc):
+        br_r, br_b, br_f = acc
+        relevant, ys, xs, s_right, s_left, s_top, s_bottom = shrink_tile(ti, tj)
+        band = (relevant & (xs >= r) & (ys >= b)
+                & (s_right < right_f) & (s_bottom < bottom_f))
         a, bv, f = corner_tile(
             band, s_right, True, x0 < s_right - PIXEL_BUFFER,
             s_bottom, True, y0 < s_bottom - PIXEL_BUFFER,
             (right_f - s_right) * h_span, (bottom_f - s_bottom) * w_span)
-        br_r, br_b, br_f = jnp.minimum(br_r, a), jnp.minimum(br_b, bv), br_f | f
+        return jnp.minimum(br_r, a), jnp.minimum(br_b, bv), br_f | f
 
-        # bottom-left: left (max) & bottom (min)
-        band = relevant & (xs_t <= l) & (ys >= b) & (s_left > left_f) & (s_bottom < bottom_f)
+    # bottom-left: rows [b, H-1] x cols [0, l]; left (max) & bottom (min)
+    def passD_bl(ti, tj, acc):
+        bl_l, bl_b, bl_f = acc
+        relevant, ys, xs, s_right, s_left, s_top, s_bottom = shrink_tile(ti, tj)
+        band = (relevant & (xs <= l) & (ys >= b)
+                & (s_left > left_f) & (s_bottom < bottom_f))
         a, bv, f = corner_tile(
             band, s_left, False, x0 > s_left + PIXEL_BUFFER,
             s_bottom, True, y0 < s_bottom - PIXEL_BUFFER,
             (s_left - left_f) * h_span, (bottom_f - s_bottom) * w_span)
-        bl_l, bl_b, bl_f = jnp.maximum(bl_l, a), jnp.minimum(bl_b, bv), bl_f | f
+        return jnp.maximum(bl_l, a), jnp.minimum(bl_b, bv), bl_f | f
 
-        return br_r, br_b, br_f, bl_l, bl_b, bl_f
-
-    tr_r, tr_t, tr_f, tl_l, tl_t, tl_f = jax.lax.fori_loop(
-        taT, tbT, passD_top, (big, -big, fbool, -big, -big, fbool))
-    br_r, br_b, br_f, bl_l, bl_b, bl_f = jax.lax.fori_loop(
-        taB2, tbB2, passD_bot, (big, big, fbool, -big, big, fbool))
+    tr_r, tr_t, tr_f = gregion(
+        jnp.int32(0), t, r, jnp.int32(W - 1), passD_tr, (big, -big, fbool))
+    tl_l, tl_t, tl_f = gregion(
+        jnp.int32(0), t, jnp.int32(0), l, passD_tl, (-big, -big, fbool))
+    br_r, br_b, br_f = gregion(
+        b, jnp.int32(H - 1), r, jnp.int32(W - 1), passD_br, (big, big, fbool))
+    bl_l, bl_b, bl_f = gregion(
+        b, jnp.int32(H - 1), jnp.int32(0), l, passD_bl, (-big, big, fbool))
 
     right_f = jnp.minimum(right_f, jnp.minimum(tr_r, br_r))
     top_f = jnp.maximum(top_f, jnp.maximum(tr_t, tl_t))
@@ -375,7 +455,7 @@ def _kernel(seed_ref, img_ref, shrink_ref, out_ref, *, W, H, TH):
 
 def inflate_pyramids(params, depth_u16, x0s, y0s, min_depths,
                      shrink_extra: int = 0, interpret: bool = False,
-                     tile_h: int | None = None):
+                     tile_h: int | None = None, tile_w: int | None = None):
     """Batched pyramid inflation on TPU. Same contract as
     jax.vmap(rappids.inflate_pyramid) restricted to its integer stage:
     returns (ok (P,) bool, maxd (P,) int32 expanded-rect min depth,
@@ -425,9 +505,18 @@ def inflate_pyramids(params, depth_u16, x0s, y0s, min_depths,
     )  # (P, 12)
 
     TH = _tile_h(H) if tile_h is None else int(tile_h)
-    if H % TH != 0 or TH % 8 != 0:
+    if H % TH != 0 or (TH % 8 != 0 and TH != H):
         raise ValueError(f"tile_h={TH} must divide H={H} and be a multiple of 8")
-    kernel = functools.partial(_kernel, W=W, H=H, TH=TH)
+    TW = _tile_w(W) if tile_w is None else int(tile_w)
+    if W % TW != 0:
+        raise ValueError(f"tile_w={TW} must divide W={W}")
+    n_tj = W // TW
+
+    def col_major(a):
+        # (H, W) -> (n_tj * H, TW): tile (ti, tj) at rows tj*H + ti*TH
+        return a.reshape(H, n_tj, TW).swapaxes(0, 1).reshape(n_tj * H, TW)
+
+    kernel = functools.partial(_kernel, W=W, H=H, TH=TH, TW=TW)
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((P, 8), jnp.int32),
@@ -435,14 +524,16 @@ def inflate_pyramids(params, depth_u16, x0s, y0s, min_depths,
             num_scalar_prefetch=1,
             grid=(P,),
             in_specs=[
-                pl.BlockSpec((H, W), lambda p, s: (0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((H, W), lambda p, s: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((n_tj * H, TW), lambda p, s: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((n_tj * H, TW), lambda p, s: (0, 0),
+                             memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec((P, 8), lambda p, s: (0, 0),
                                    memory_space=pltpu.VMEM),
         ),
         interpret=interpret,
-    )(seeds, img, shrink_px)
+    )(seeds, col_major(img), col_major(shrink_px))
 
     ok = out[:, 0] > 0
     maxd = out[:, 1]

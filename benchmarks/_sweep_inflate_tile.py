@@ -53,13 +53,13 @@ def main(argv):
 
     CHUNK = 50
 
-    def timed(min_depths, tile_h, label):
+    def timed(min_depths, tile_h, label, tile_w=None):
         @jax.jit
         def f(x, y, d):
             def body(c, _):
                 x, y, d = c
                 ok, maxd, edges = pallas_inflate.inflate_pyramids(
-                    params, depth, x, y, d, tile_h=tile_h,
+                    params, depth, x, y, d, tile_h=tile_h, tile_w=tile_w,
                     interpret=not on_tpu)
                 # fold outputs back in so scan iterations are not DCE'd
                 return (x + ok.astype(jnp.int32) * 0, y, d), (
@@ -72,10 +72,14 @@ def main(argv):
               f"{n_seeds} seeds)")
         return us_seed
 
-    H = 480
+    H, W = 480, 640
     ths = [th for th in (8, 16, 24, 32, 40, 48, 96) if H % th == 0]
-    for th in ths:
-        timed(depths, th, f"tile_h={th} (realistic)")
+    # tile_w=640 (one column tile) reproduces the row-tiled layout; 128 is
+    # one vreg of lanes (the 2-D region-bounding default).
+    tws = [tw for tw in (64, 128, 320, 640) if W % tw == 0]
+    for tw in tws:
+        for th in ths:
+            timed(depths, th, f"tile {th}x{tw} (realistic)", tile_w=tw)
     # all-blocked probe: min depth past the far plane forces pass-A failure
     timed(jnp.full((n_seeds,), 20.0, jnp.float32), None,
           "blocked early-out (default)")

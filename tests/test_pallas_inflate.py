@@ -87,9 +87,10 @@ def test_build_pyramid_set_pallas_parity():
         pi.inflate_pyramids = orig
 
 
-@pytest.mark.parametrize("tile_h", [8, 24, 40, 120])
-def test_tile_h_invariance(tile_h):
-    """Outputs are bit-identical for any legal tile height (the region
+@pytest.mark.parametrize("tile_h,tile_w", [(8, None), (24, 16), (40, 40),
+                                           (120, 32), (24, 160)])
+def test_tile_shape_invariance(tile_h, tile_w):
+    """Outputs are bit-identical for any legal tile shape (the region
     bounds change which tiles are visited, never what they contribute)."""
     W, H = 160, 120
     cam = rappids.make_camera(W, H, focal=W / 2.0)
@@ -103,7 +104,7 @@ def test_tile_h_invariance(tile_h):
     ok_d, maxd_d, edges_d = pallas_inflate.inflate_pyramids(
         params, img, x0, y0, md, interpret=True)
     ok_t, maxd_t, edges_t = pallas_inflate.inflate_pyramids(
-        params, img, x0, y0, md, interpret=True, tile_h=tile_h)
+        params, img, x0, y0, md, interpret=True, tile_h=tile_h, tile_w=tile_w)
     okd = np.asarray(ok_d)
     assert okd.sum() >= 3
     np.testing.assert_array_equal(okd, np.asarray(ok_t))
