@@ -166,3 +166,54 @@ def test_rgb_baked_orchard_matches_procedural(baked):
     assert frac > 0.98, f"only {frac:.3f} of pixels match"
     # sanity: the frame actually contains trunk/canopy/ground materials
     assert len(np.unique(got.reshape(-1, 3), axis=0)) > 20
+
+
+def test_strip_culled_jnp_fallback_bit_exact(baked):
+    """render_depth's default strip-culled path (the only render non-TPU
+    users get) is bit-identical to the plain full-window scan: culling is
+    conservative, min is order-independent, and the default chunk=16
+    matches the plain path's fusion shapes (this test pins that)."""
+    scene, cfg, mesh = baked
+    poses = [
+        (jnp.array([5.0, 0.0, 2.5], jnp.float32),
+         jnp.array([1.0, 0.0, 0.0, 0.0], jnp.float32)),
+        (jnp.array([20.0, 3.0, 1.2], jnp.float32),     # low, inside rows
+         rot.from_euler_ypr(0.7, -0.2, 0.0)),
+        (jnp.array([-10.0, -8.0, 6.0], jnp.float32),   # outside, looking in
+         rot.from_euler_ypr(-2.2, 0.4, 0.1)),
+    ]
+    for pos, q in poses:
+        att = raycast.camera_attitude(q)
+        plain = np.asarray(meshscene.render_depth(
+            cfg, mesh, pos, att, strip_cull=False))
+        culled = np.asarray(meshscene.render_depth(
+            cfg, mesh, pos, att, strip_cull=True))
+        np.testing.assert_array_equal(culled, plain)
+    # H % tile_h != 0 falls back to the plain scan
+    w = meshscene.select_window(
+        mesh, poses[0][0], cfg.far * meshscene.slant_factor(cfg), 192)
+    att0 = raycast.camera_attitude(poses[0][1])
+    odd = np.asarray(meshscene.render_depth_window_strips(
+        cfg, w, poses[0][0], att0, tile_h=32))
+    np.testing.assert_array_equal(
+        odd, np.asarray(meshscene.render_depth_window(cfg, w, poses[0][0], att0)))
+
+
+def test_strip_culled_rgb_bit_exact(baked):
+    """RGB strip-cull path (winner index through the compaction order,
+    far-clip disabled: beyond-far hits still shade) matches the plain
+    winner-tracking scan bit-for-bit."""
+    scene, cfg, mesh = baked
+    poses = [
+        (jnp.array([5.0, 0.0, 2.5], jnp.float32),
+         jnp.array([1.0, 0.0, 0.0, 0.0], jnp.float32)),
+        (jnp.array([20.0, 3.0, 1.2], jnp.float32),
+         rot.from_euler_ypr(0.7, -0.2, 0.0)),
+    ]
+    for pos, q in poses:
+        att = raycast.camera_attitude(q)
+        plain = np.asarray(meshscene.render_rgb(
+            cfg, mesh, pos, att, strip_cull=False))
+        culled = np.asarray(meshscene.render_rgb(
+            cfg, mesh, pos, att, strip_cull=True))
+        np.testing.assert_array_equal(culled, plain)
