@@ -472,13 +472,23 @@ def render_depth_window_strips(cfg: RenderConfig, window, cam_pos, cam_att,
     return jnp.clip(code, 0, 255)
 
 
+def _strip_cull_default() -> bool:
+    """Strip culling's while_loop early exit is a 19x win on CPU but the
+    dynamic trip counts serialize badly on TPU (where the Pallas kernels
+    are the production path anyway) — so the default is backend-gated."""
+    return jax.default_backend() == "cpu"
+
+
 def render_depth(cfg: RenderConfig, scene: MeshScene, cam_pos, cam_att,
-                 window_capacity: int = 192, strip_cull: bool = True):
-    """select_window + strip-culled window render in one call (strip_cull
-    False forces the plain full-window scan; outputs are bit-identical)."""
+                 window_capacity: int = 192, strip_cull: bool | None = None):
+    """select_window + window render in one call. strip_cull: True runs
+    the strip-culled early-exit scan, False the plain full-window scan
+    (outputs are bit-identical); None picks by backend (CPU -> strips)."""
     window = select_window(
         scene, cam_pos, cfg.far * slant_factor(cfg), window_capacity
     )
+    if strip_cull is None:
+        strip_cull = _strip_cull_default()
     if strip_cull:
         return render_depth_window_strips(cfg, window, cam_pos, cam_att)
     return render_depth_window(cfg, window, cam_pos, cam_att)
@@ -497,7 +507,7 @@ def render_depth_body(cfg: RenderConfig, scene: MeshScene, body_pos, body_att,
 
 def render_rgb(cfg: RenderConfig, scene: MeshScene, cam_pos, cam_att,
                window_capacity: int = 192, chunk: int = 16,
-               strip_cull: bool = True, tile_h: int = 16):
+               strip_cull: bool | None = None, tile_h: int = 16):
     """Shaded RGB frame of an imported world — the Scene-image counterpart
     of render_depth (reference: AirSimBridge publishes Unity Scene images
     of *the* world, AirSimBridge/main.cpp:77-93; previously only the
@@ -526,6 +536,8 @@ def render_rgb(cfg: RenderConfig, scene: MeshScene, cam_pos, cam_att,
         kinds = window[:, 0]
         mats = jnp.where(kinds == PRIM_CYLINDER, rc.MAT_TRUNK, rc.MAT_CANOPY)
 
+    if strip_cull is None:
+        strip_cull = _strip_cull_default()
     if strip_cull and cfg.height % tile_h == 0:
         return _render_rgb_strips(
             cfg, window, mats, cam_pos, cam_att, tile_h, chunk)
