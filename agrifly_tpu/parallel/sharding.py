@@ -255,16 +255,15 @@ def make_orchard_fleet_step(params, mesh: Mesh, n_envs: int,
     """jitted states -> (states, OrchardFleetMetrics): `n_frames` full
     perception-plan-act frames per call, env axis sharded over the mesh.
 
-    params must have fused_ticks=False (the per-vehicle Pallas tick kernel
-    is the B=1 latency path; sharded fleets run the vmapped jnp scan)."""
+    Each shard runs frame_step_fleet on its local vehicle block — the
+    vmapped perception/plan frame, with the tick block as one fused
+    Pallas kernel per shard when params.fused_ticks (bit-identical to
+    jax.vmap(frame_step) on the jnp path; tests/test_pallas_frame.py)."""
     from agrifly_tpu.sim import orchard_env
-
-    assert not params.fused_ticks, "sharded fleets use the jnp tick scan"
 
     def local(states):
         def body(carry, _):
-            s, _outs = jax.vmap(
-                lambda st: orchard_env.frame_step(params, st))(carry)
+            s, _outs = orchard_env.frame_step_fleet(params, carry)
             return s, None
 
         states, _ = jax.lax.scan(body, states, None, length=n_frames)

@@ -345,11 +345,10 @@ def frame_ticks(params: OrchardEnvParams, s: OrchardEnvState, noise):
     return frame_ticks_jnp(params, s, noise)
 
 
-def frame_step(params: OrchardEnvParams, s: OrchardEnvState):
-    """One 33 ms frame: render -> plan -> 16 tracked physics ticks.
-
-    Returns (state, FrameOutputs-dict).
-    """
+def _frame_percept(params: OrchardEnvParams, s: OrchardEnvState):
+    """Render -> plan -> mission bookkeeping (everything before the tick
+    block). Returns (state, noise_key, plan_info); pure code motion out of
+    frame_step so the fleet path can batch the tick block separately."""
     base = s.base
     p = params.base
 
@@ -457,16 +456,7 @@ def frame_step(params: OrchardEnvParams, s: OrchardEnvState):
         land_start_step=land_start_step,
     )
 
-    # 3. physics ticks — IMU noise for the whole frame drawn in one batched
-    # call (16 sequential threefry chains cost ~30 fused kernels; one
-    # (16,2,3) draw costs ~3), then the fused tick loop
-    noise = jax.random.normal(
-        k_noise, (params.steps_per_frame, 2, 3), jnp.float32)
-    s = frame_ticks(params, s, noise)
-
-    outputs = dict(
-        pos=s.base.plant.pos, vel=s.base.plant.vel, att=s.base.plant.att,
-        flight_state=s.base.logic.fs, panic=s.base.logic.panic_reason,
+    plan_info = dict(
         plan_found=res.found, num_collision_free=res.num_collision_free,
         num_pyramids=res.num_pyramids, best_cost=res.best_cost,
         num_feasible=res.num_feasible,
@@ -474,7 +464,62 @@ def frame_step(params: OrchardEnvParams, s: OrchardEnvState):
         plan_vel_cam=vel_cam, plan_acc_cam=acc_cam, plan_grav_cam=grav_cam,
         goal_world=goal_world,
     )
-    return s, outputs
+    return s, k_noise, plan_info
+
+
+def _frame_outputs(s: OrchardEnvState, plan_info: dict) -> dict:
+    return dict(
+        pos=s.base.plant.pos, vel=s.base.plant.vel, att=s.base.plant.att,
+        flight_state=s.base.logic.fs, panic=s.base.logic.panic_reason,
+        **plan_info,
+    )
+
+
+def frame_step(params: OrchardEnvParams, s: OrchardEnvState):
+    """One 33 ms frame: render -> plan -> 16 tracked physics ticks.
+
+    Returns (state, FrameOutputs-dict).
+    """
+    s, k_noise, plan_info = _frame_percept(params, s)
+
+    # physics ticks — IMU noise for the whole frame drawn in one batched
+    # call (16 sequential threefry chains cost ~30 fused kernels; one
+    # (16,2,3) draw costs ~3), then the fused tick loop
+    noise = jax.random.normal(
+        k_noise, (params.steps_per_frame, 2, 3), jnp.float32)
+    s = frame_ticks(params, s, noise)
+    return s, _frame_outputs(s, plan_info)
+
+
+def frame_step_fleet(params: OrchardEnvParams, s: OrchardEnvState):
+    """One frame for a B-vehicle fleet (leading batch axis on every leaf).
+
+    Value-identical to jax.vmap(frame_step) — same vmapped perception/
+    planning ops, same per-vehicle noise draws — but the 16-tick block
+    runs as ONE fused Pallas kernel when params.fused_ticks (the vmapped
+    jnp tick chain costs ~320 B-independent kernel launches per tick;
+    see sim/pallas_frame.frame_ticks_batched), to cross-program FMA ulps.
+    """
+    s, k_noise, plan_info = jax.vmap(
+        lambda st: _frame_percept(params, st))(s)
+    noise = jax.vmap(lambda k: jax.random.normal(
+        k, (params.steps_per_frame, 2, 3), jnp.float32))(k_noise)
+    if params.fused_ticks:
+        from agrifly_tpu.sim import pallas_frame
+
+        s = pallas_frame.frame_ticks_batched(params, s, noise)
+    else:
+        s = jax.vmap(lambda st, n: frame_ticks_jnp(params, st, n))(s, noise)
+    return s, _frame_outputs(s, plan_info)
+
+
+def fly_fleet(params: OrchardEnvParams, s: OrchardEnvState, n_frames: int):
+    """Scan frame_step_fleet over a batched state (see fly's NB on params)."""
+
+    def body(carry, _):
+        return frame_step_fleet(params, carry)
+
+    return jax.lax.scan(body, s, None, length=n_frames)
 
 
 def fly(params: OrchardEnvParams, s: OrchardEnvState, n_frames: int):

@@ -163,6 +163,126 @@ def _get_call(params, treedef, specs, n_ticks, interpret):
     return call
 
 
+def _trace_batched_loop(params, treedef, specs, n_ticks):
+    """Closed jaxpr of the vmapped B-vehicle tick block (the exact program
+    _get_call_batched evaluates in-kernel; also evaluated directly by the
+    parity tests)."""
+    from agrifly_tpu.offboard import estimators
+    from agrifly_tpu.sim import orchard_env
+
+    B = specs[0][0][0]
+
+    def loop(leaves, noise_g, noise_a):
+        s = jax.tree_util.tree_unflatten(treedef, leaves)
+
+        def one_env(s1, ng, na):
+            def body(i, s1):
+                from agrifly_tpu.ops import lin3
+
+                sel = jax.lax.broadcasted_iota(jnp.int32, (n_ticks, 1), 0) == i
+                n_g = lin3.relayout(jnp.where(sel, ng, 0.0).sum(0))
+                n_a = lin3.relayout(jnp.where(sel, na, 0.0).sum(0))
+                return orchard_env._sim_tick(params, s1, (n_g, n_a))
+
+            return jax.lax.fori_loop(0, n_ticks, body, s1)
+
+        out = jax.vmap(one_env)(s, noise_g, noise_a)
+        return jax.tree_util.tree_leaves(out)
+
+    leaf_avals = [jax.ShapeDtypeStruct(sh, dt) for sh, dt in specs]
+    noise_aval = jax.ShapeDtypeStruct((B, n_ticks, 3), jnp.float32)
+    with estimators.replay_static_unroll():
+        return jax.make_jaxpr(loop)(leaf_avals, noise_aval, noise_aval)
+
+
+def _get_call_batched(params, treedef, specs, n_ticks, interpret):
+    """Batched (fleet) variant: one kernel advances B vehicles 16 ticks.
+
+    The loop is `jax.vmap` of the single-vehicle tick chain — value-wise
+    exactly the fleet path's scanned jnp program — but vmap's batching
+    rules emit i1-vector reshapes/broadcasts and minor-dim concatenates
+    of (B, 1) pieces that Mosaic cannot lower, so the kernel body
+    re-evaluates the jaxpr through ops/launder.eval_jaxpr (bool->int32
+    carriers, masked-select column assembly; value-identical rewrites).
+    Bool leaves ride as int32 carriers end-to-end: packed by _pack,
+    loaded without the ->bool conversion, and converted back only after
+    the pallas_call returns.
+    """
+    key = ("batched", id(params), treedef, specs, n_ticks, interpret)
+    hit = _CACHE.get(key)
+    if hit is not None and hit[0] is params:
+        return hit[1]
+
+    from agrifly_tpu.ops import launder
+
+    closed = _trace_batched_loop(params, treedef, specs, n_ticks)
+    consts = [launder._np_carrier(c) for c in closed.consts]
+    const_specs = tuple((tuple(c.shape), jnp.dtype(c.dtype)) for c in consts)
+
+    def _load_carrier(ref, shape):
+        v = ref[...]
+        if len(shape) == 0:
+            return v[0, 0]
+        if len(shape) == 1:
+            return v[0, :]
+        return v
+
+    def kernel(*refs):
+        nc, nl = len(consts), len(specs)
+        const_refs = refs[:nc]
+        ng_ref, na_ref = refs[nc], refs[nc + 1]
+        in_refs = refs[nc + 2:nc + 2 + nl]
+        out_refs = refs[nc + 2 + nl:]
+        const_vals = [
+            _load_carrier(r, sh) for r, (sh, _) in zip(const_refs, const_specs)
+        ]
+        leaves = [_load_carrier(r, sh) for r, (sh, _) in zip(in_refs, specs)]
+        outs = launder.eval_jaxpr(
+            closed.jaxpr, const_vals, *leaves, ng_ref[...], na_ref[...])
+        for r, v, (sh, dt) in zip(out_refs, outs, specs):
+            r[...] = jnp.asarray(v).reshape(_canon_shape(sh))
+
+    out_shapes = [
+        jax.ShapeDtypeStruct(_canon_shape(sh), _io_dtype(dt))
+        for sh, dt in specs
+    ]
+    n_inputs = len(consts) + 2 + len(specs)
+    call_ = pl.pallas_call(
+        kernel,
+        out_shape=out_shapes,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * n_inputs,
+        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * len(specs),
+        interpret=interpret,
+    )
+    packed_consts = [c.reshape(_canon_shape(c.shape)) for c in consts]
+
+    def call(packed_leaves, noise_g, noise_a):
+        return call_(*packed_consts, noise_g, noise_a, *packed_leaves)
+
+    _CACHE[key] = (params, call)
+    return call
+
+
+def frame_ticks_batched(params, state, noise, interpret=False):
+    """Advance a B-vehicle fleet one tick block in a single kernel launch.
+
+    state: OrchardEnvState with a leading batch axis on every leaf.
+    noise: (B, n_ticks, 2, 3) pre-drawn unit normals. Value-parity with
+    jax.vmap(frame_ticks_jnp) to the usual cross-program FMA ulps
+    (discrete leaves bit-equal; tests/test_pallas_frame.py).
+    """
+    n_ticks = int(noise.shape[1])
+    leaves, treedef = jax.tree_util.tree_flatten(state)
+    specs = tuple((tuple(np.shape(l)), jnp.dtype(l.dtype)) for l in leaves)
+    call = _get_call_batched(params, treedef, specs, n_ticks, bool(interpret))
+
+    packed = [_pack(l) for l in leaves]
+    noise = jnp.asarray(noise, jnp.float32)
+    out = call(packed, noise[:, :, 0, :], noise[:, :, 1, :])
+    new_leaves = [_unpack(o, sh, dt) for o, (sh, dt) in zip(out, specs)]
+    return jax.tree_util.tree_unflatten(treedef, new_leaves)
+
+
 def frame_ticks(params, state, noise, interpret=False):
     """Run the frame's tick block as one kernel launch.
 

@@ -1,9 +1,12 @@
 """Multi-vehicle full perception-plan-act frames (BENCH_DETAILS fleet row).
 
-Batched orchard frame_step (render + 256-candidate RAPPIDS + 16 ticks)
-for 16 and 64 vehicles; reports aggregate realtime multiple.
+Batched orchard frame_step_fleet (render + 256-candidate RAPPIDS + 16
+ticks) for 16 and 64 vehicles; reports aggregate realtime multiple.
+--fused runs the tick block as one batched Pallas kernel (TPU only;
+sim/pallas_frame.frame_ticks_batched), the default keeps the vmapped
+jnp scan.
 
-    python -m benchmarks.bench_fleet_frames [--cpu] [--image 640x480]
+    python -m benchmarks.bench_fleet_frames [--cpu] [--image 640x480] [--fused]
 """
 
 import sys
@@ -15,6 +18,7 @@ def main(argv):
     argv = _util.force_cpu_if_flagged(argv)
     img = argv[argv.index("--image") + 1] if "--image" in argv else "640x480"
     w, h = (int(x) for x in img.split("x"))
+    fused = "--fused" in argv
 
     import jax
     import jax.numpy as jnp
@@ -23,7 +27,7 @@ def main(argv):
 
     on_tpu = jax.devices()[0].platform != "cpu"
     params = orchard_env.make_params(
-        width=w, height=h, use_pallas=on_tpu, fused_ticks=False)
+        width=w, height=h, use_pallas=on_tpu, fused_ticks=fused)
     frame_time = params.steps_per_frame * float(params.base.dt_us) * 1e-6
 
     for fleet in (16, 64):
@@ -35,11 +39,12 @@ def main(argv):
 
         @jax.jit
         def step(s):
-            return jax.vmap(lambda st: orchard_env.frame_step(params, st)[0])(s)
+            return orchard_env.frame_step_fleet(params, s)[0]
 
+        tag = "_fused" if fused else ""
         t = _util.pipelined_time(step, state)
-        _util.report(f"fleet{fleet}_frame_ms", t * 1e3, "ms")
-        _util.report(f"fleet{fleet}_aggregate_realtime",
+        _util.report(f"fleet{fleet}_frame_ms{tag}", t * 1e3, "ms")
+        _util.report(f"fleet{fleet}_aggregate_realtime{tag}",
                      fleet * frame_time / t, "x")
 
 

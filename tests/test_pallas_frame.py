@@ -97,6 +97,73 @@ def test_pallas_safe_program_matches_scan_cold_and_hot():
                                    np.asarray(state.base.plant.pos))
 
 
+def _batched_kernel_jaxpr_eval(params, bstate, noise):
+    """Evaluate the EXACT jaxpr pallas_frame._get_call_batched runs in the
+    fleet kernel (same trace helper), through ops/launder.eval_jaxpr —
+    proving the laundered program computes the fleet tick block; the VMEM
+    plumbing is exercised on TPU hardware."""
+    from agrifly_tpu.ops import launder
+    from agrifly_tpu.sim import pallas_frame
+
+    n_ticks = int(noise.shape[1])
+    leaves, treedef = jax.tree_util.tree_flatten(bstate)
+    specs = tuple((tuple(np.shape(l)), jnp.dtype(l.dtype)) for l in leaves)
+    closed = pallas_frame._trace_batched_loop(params, treedef, specs, n_ticks)
+    consts = [launder._np_carrier(c) for c in closed.consts]
+    carriers = [launder.to_carrier(l) for l in leaves]
+    outs = launder.eval_jaxpr(
+        closed.jaxpr, consts, *carriers,
+        jnp.asarray(noise[:, :, 0, :]), jnp.asarray(noise[:, :, 1, :]))
+    outs = [launder.from_carrier(o, dt) for o, (_, dt) in zip(outs, specs)]
+    return jax.tree_util.tree_unflatten(treedef, outs)
+
+
+def test_batched_laundered_program_matches_vmapped_scan():
+    """Fleet (vmapped) tick block through the laundering rewrites ==
+    jax.vmap(frame_ticks_jnp): discrete leaves bit-equal, floats to the
+    usual cross-program FMA ulps."""
+    B = 4
+    params, _ = _mk()
+    keys = jax.random.split(jax.random.PRNGKey(11), B)
+    bstate = jax.vmap(lambda k: orchard_env.init_state(params, k))(keys)
+    # warm two vehicles so discrete branches diverge across the batch
+    fly2 = jax.jit(lambda s: orchard_env.fly(params, s, 25)[0])
+    warm = jax.block_until_ready(
+        fly2(jax.tree_util.tree_map(lambda l: l[0], bstate)))
+    bstate = jax.tree_util.tree_map(
+        lambda bl, wl: bl.at[0].set(wl), bstate, warm)
+
+    noise = jax.random.normal(
+        jax.random.PRNGKey(5), (B, params.steps_per_frame, 2, 3), jnp.float32)
+    ref = jax.jit(jax.vmap(
+        lambda s, n: orchard_env.frame_ticks_jnp(params, s, n)))(bstate, noise)
+    out = _batched_kernel_jaxpr_eval(params, bstate, noise)
+    _assert_tree_equal(ref, out)
+    assert not np.allclose(np.asarray(ref.base.plant.pos),
+                           np.asarray(bstate.base.plant.pos))
+
+
+def test_frame_step_fleet_matches_vmapped_frame_step():
+    """frame_step_fleet (jnp tick path) is bit-identical to
+    jax.vmap(frame_step) — the perception/plan/mission split is pure code
+    motion and the noise draws are the same per-vehicle splits."""
+    B = 4
+    params, _ = _mk()
+    keys = jax.random.split(jax.random.PRNGKey(2), B)
+    bstate = jax.vmap(lambda k: orchard_env.init_state(params, k))(keys)
+    ref_s, ref_o = jax.jit(jax.vmap(
+        lambda s: orchard_env.frame_step(params, s)))(bstate)
+    new_s, new_o = jax.jit(
+        lambda s: orchard_env.frame_step_fleet(params, s))(bstate)
+    for a, b in ((ref_s, new_s), (ref_o, new_o)):
+        la, ta = jax.tree_util.tree_flatten(a)
+        lb, tb = jax.tree_util.tree_flatten(b)
+        assert ta == tb
+        for i, (x, y) in enumerate(zip(la, lb)):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y),
+                                          err_msg=f"leaf {i}")
+
+
 def test_pallas_safe_program_matches_scan_landing_stage():
     """Exercise the landing/mission-stage branches of the tick."""
     params, state = _mk(frames=30, land=True)
