@@ -262,11 +262,11 @@ def main(argv=None):
         print(f"mesh: {mesh.devices.size} devices, "
               f"{fleet // mesh.devices.size} vehicles/device")
     else:
+        # fly_fleet batches the perception frame with vmap and the tick
+        # block through frame_step_fleet (one fused Pallas kernel when
+        # params.fused_ticks); bit-identical to vmap(fly) on the jnp path
         fly_block = jax.jit(
-            lambda s: jax.vmap(
-                lambda st: orchard_env.fly(params, st, frames_per_block)
-            )(s)
-        )
+            lambda s: orchard_env.fly_fleet(params, s, frames_per_block))
 
     print(f"agrifly_tpu demo: {jax.devices()[0].platform} backend, "
           f"{w}x{h} depth, goal {tuple(args.goal)}"
@@ -333,8 +333,9 @@ def main(argv=None):
         from agrifly_tpu.utils import simlog
 
         _, outs = fly_block(state)
-        if fleet > 1:  # log vehicle 0 of the batch
-            outs = jax.tree_util.tree_map(lambda x: x[0], outs)
+        if fleet > 1:  # log vehicle 0 of the batch (fly_fleet stacks
+            # outputs (frames, B, ...))
+            outs = jax.tree_util.tree_map(lambda x: x[:, 0], outs)
         import types
 
         traj = types.SimpleNamespace(
