@@ -207,6 +207,14 @@ def _get_call_batched(params, treedef, specs, n_ticks, interpret):
     Bool leaves ride as int32 carriers end-to-end: packed by _pack,
     loaded without the ->bool conversion, and converted back only after
     the pallas_call returns.
+
+    The laundering runs OUTSIDE the kernel, via `jax.make_jaxpr` over
+    `launder.eval_jaxpr`: any literal-only equation it constant-folds
+    (e.g. a broadcast of scalar 0 to i32[1] introduced by vmap) would
+    otherwise materialize as a captured array constant inside the kernel
+    trace, which Pallas rejects. Folded concretes surface as the
+    laundered trace's consts and ride into the kernel as extra inputs;
+    the kernel body plain-evals the already-rewritten jaxpr.
     """
     key = ("batched", id(params), treedef, specs, n_ticks, interpret)
     hit = _CACHE.get(key)
@@ -219,6 +227,16 @@ def _get_call_batched(params, treedef, specs, n_ticks, interpret):
     consts = [launder._np_carrier(c) for c in closed.consts]
     const_specs = tuple((tuple(c.shape), jnp.dtype(c.dtype)) for c in consts)
 
+    B = specs[0][0][0]
+    const_avals = [jax.ShapeDtypeStruct(sh, dt) for sh, dt in const_specs]
+    carrier_avals = [jax.ShapeDtypeStruct(sh, _io_dtype(dt)) for sh, dt in specs]
+    noise_aval = jax.ShapeDtypeStruct((B, n_ticks, 3), jnp.float32)
+    laundered = jax.make_jaxpr(
+        lambda cs, ls, ng, na: launder.eval_jaxpr(closed.jaxpr, cs, *ls, ng, na)
+    )(const_avals, carrier_avals, noise_aval, noise_aval)
+    folded = [launder._np_carrier(c) for c in laundered.consts]
+    folded_specs = tuple((tuple(c.shape), jnp.dtype(c.dtype)) for c in folded)
+
     def _load_carrier(ref, shape):
         v = ref[...]
         if len(shape) == 0:
@@ -228,17 +246,22 @@ def _get_call_batched(params, treedef, specs, n_ticks, interpret):
         return v
 
     def kernel(*refs):
-        nc, nl = len(consts), len(specs)
-        const_refs = refs[:nc]
-        ng_ref, na_ref = refs[nc], refs[nc + 1]
-        in_refs = refs[nc + 2:nc + 2 + nl]
-        out_refs = refs[nc + 2 + nl:]
+        nf, nc, nl = len(folded), len(consts), len(specs)
+        folded_refs = refs[:nf]
+        const_refs = refs[nf:nf + nc]
+        ng_ref, na_ref = refs[nf + nc], refs[nf + nc + 1]
+        in_refs = refs[nf + nc + 2:nf + nc + 2 + nl]
+        out_refs = refs[nf + nc + 2 + nl:]
+        folded_vals = [
+            _load_carrier(r, sh) for r, (sh, _) in zip(folded_refs, folded_specs)
+        ]
         const_vals = [
             _load_carrier(r, sh) for r, (sh, _) in zip(const_refs, const_specs)
         ]
         leaves = [_load_carrier(r, sh) for r, (sh, _) in zip(in_refs, specs)]
-        outs = launder.eval_jaxpr(
-            closed.jaxpr, const_vals, *leaves, ng_ref[...], na_ref[...])
+        outs = jax.core.eval_jaxpr(
+            laundered.jaxpr, folded_vals, *const_vals, *leaves,
+            ng_ref[...], na_ref[...])
         for r, v, (sh, dt) in zip(out_refs, outs, specs):
             r[...] = jnp.asarray(v).reshape(_canon_shape(sh))
 
@@ -246,7 +269,7 @@ def _get_call_batched(params, treedef, specs, n_ticks, interpret):
         jax.ShapeDtypeStruct(_canon_shape(sh), _io_dtype(dt))
         for sh, dt in specs
     ]
-    n_inputs = len(consts) + 2 + len(specs)
+    n_inputs = len(folded) + len(consts) + 2 + len(specs)
     call_ = pl.pallas_call(
         kernel,
         out_shape=out_shapes,
@@ -254,7 +277,8 @@ def _get_call_batched(params, treedef, specs, n_ticks, interpret):
         out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * len(specs),
         interpret=interpret,
     )
-    packed_consts = [c.reshape(_canon_shape(c.shape)) for c in consts]
+    packed_consts = [c.reshape(_canon_shape(c.shape))
+                     for c in (*folded, *consts)]
 
     def call(packed_leaves, noise_g, noise_a):
         return call_(*packed_consts, noise_g, noise_a, *packed_leaves)
