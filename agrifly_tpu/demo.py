@@ -96,6 +96,88 @@ def _teleop_loop(args, params, orchard_env, onboard):
     return 0
 
 
+def _realtime_loop(args):
+    """Wall-clock real-time sim (the reference's `simulator` ROS node:
+    HardwareTimer + ros::Rate(500), Simulator/main.cpp:231,310): pace the
+    500 Hz vehicle loop against the wall clock, publish the full topic
+    surface at reference cadences, render a live vehicle_monitor line
+    each second, and (with --teleop) poll the operator at ~100 Hz — start
+    arms a hover, red kills through the real radio wire."""
+    import numpy as np
+
+    from agrifly_tpu.io import bridge as bridge_mod
+    from agrifly_tpu.io import messages as msgs
+    from agrifly_tpu.io import radio as radio_codec
+    from agrifly_tpu.io import teleop as teleop_mod
+    from agrifly_tpu.sim import env as env_mod
+    from agrifly_tpu.utils import monitor as monitor_mod
+
+    params = env_mod.make_params(noise_scale=1.0)
+    br = bridge_mod.SimBridge(params, vehicle_id=1, seed=args.seed)
+    mon = monitor_mod.VehicleMonitor(br.bus, 1, use_sim_time=False)
+
+    js = None
+    if args.teleop:
+        if args.teleop == "keyboard":
+            js = teleop_mod.KeyboardJoystick()
+        elif args.teleop == "joystick":
+            js = teleop_mod.LinuxJoystick()
+        elif args.teleop.startswith("scripted:"):
+            presses = []
+            for part in args.teleop[len("scripted:"):].split(","):
+                t_s, name = part.split(":")
+                presses.append((float(t_s), name))
+            js = teleop_mod.ScriptedJoystick(presses)
+        else:
+            raise SystemExit(f"unknown --teleop mode: {args.teleop}")
+
+    ground = env_mod.hover_command(des_pos=(0.0, 0.0, 0.0))
+    hover = env_mod.hover_command(des_pos=(0.0, 0.0, 1.5))
+    ctl = {"cmd": hover if js is None else ground,
+           "armed": js is None, "killed": False}
+    rate = float(args.rate)
+    block = max(1, int(round(rate / 100.0)))  # ~100 Hz operator quanta
+    quanta_per_s = max(1, int(round(rate / block)))
+
+    def on_quantum(b, k):
+        t = k * block / rate
+        if js is not None:
+            jsv = js.poll(t)
+            if jsv.buttonStart and not ctl["armed"]:
+                ctl["armed"] = True
+                ctl["cmd"] = hover
+                print(f"t={t:6.2f}s ARMED — hover setpoint (start button)")
+            if jsv.buttonRed and not ctl["killed"]:
+                ctl["killed"] = True
+                raw = radio_codec.fields_to_bytes(
+                    *radio_codec.make_kill_command())
+                b.bus.publish("radio_command1", msgs.RadioCommand(raw=raw))
+                print(f"t={t:6.2f}s KILL — emergency-kill on the radio "
+                      f"(red button)")
+        if k % quanta_per_s == 0:
+            pos = np.asarray(b.state.plant.pos)
+            print(f"[{t:5.1f}s wall] {mon.render()}  "
+                  f"z={pos[2]:5.2f}m")
+
+    print(f"realtime sim: {rate:.0f} Hz wall-clock pacing, "
+          f"block={block} ticks/quantum, duration {args.duration}s")
+    report = br.run_realtime(
+        args.duration, lambda: ctl["cmd"], rate_hz=rate, block=block,
+        on_quantum=on_quantum)
+    if js is not None and hasattr(js, "close"):
+        js.close()
+    # pass/fail on the sim's own cadences; the cmd band reflects the
+    # attached commander (a teleop kill is not a 50 Hz commander)
+    ok = all(report["bands_ok"].get(k, False) for k in ("mocap", "telemetry"))
+    print(f"achieved {report['achieved_tick_hz']:.1f} Hz "
+          f"(target {rate:.0f}), late {report['late_quanta']}/"
+          f"{report['n_quanta']} quanta (max {report['max_late_s']*1e3:.2f} ms)")
+    print("topic rates (wall): " + "  ".join(
+        f"{k}={v:.1f}Hz" for k, v in report["topic_hz"].items()))
+    print("bands " + ("OK" if ok else "VIOLATED") + f": {report['bands_ok']}")
+    return 0 if ok else 1
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--frames", type=int, default=300)
@@ -134,6 +216,19 @@ def main(argv=None):
                          "mission is NOT auto-started: the start button "
                          "arms it; the red button sends an emergency-kill "
                          "through the real radio codec + delay line")
+    ap.add_argument("--realtime", action="store_true",
+                    help="wall-clock real-time sim (Simulator/main.cpp "
+                         "HardwareTimer + ros::Rate(500) parity): pace "
+                         "the 500 Hz vehicle loop against the wall clock, "
+                         "publish the topic surface at reference "
+                         "cadences, live vehicle_monitor line per "
+                         "second; combine with --teleop for operator "
+                         "arm/kill at ~100 Hz polls")
+    ap.add_argument("--duration", type=float, default=10.0,
+                    help="--realtime flight duration in wall seconds")
+    ap.add_argument("--rate", type=float, default=500.0,
+                    help="--realtime tick rate target in Hz (the "
+                         "reference's 500; reduce on slow hosts)")
     ap.add_argument("--rgb", type=str, default=None,
                     help="write a shaded RGB frame (binary PPM) rendered "
                          "from the final pose — Scene-image parity for both "
@@ -155,6 +250,9 @@ def main(argv=None):
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+
+    if args.realtime:
+        return _realtime_loop(args)
 
     from agrifly_tpu.models import logic as onboard
     from agrifly_tpu.sim import orchard_env

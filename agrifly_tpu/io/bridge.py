@@ -61,8 +61,17 @@ class TopicBus:
             cb(topic, msg)
 
 
+# jitted host-path helpers: the bridge tick calls these every few sim
+# steps; eager jnp dispatch costs ~2 ms/call on a small host and would
+# dominate the wall-clock real-time budget (run_realtime @500 Hz)
+_ypr_jit = jax.jit(lambda q: rot_ops.to_euler_ypr(q))
+_wire_ypr_jit = jax.jit(
+    lambda v: rot_ops.to_euler_ypr(rot_ops.from_vector_part(v)))
+_rotate_back_jit = jax.jit(rot_ops.rotate_back)
+
+
 def _ypr(q):
-    y, p, r = rot_ops.to_euler_ypr(jnp.asarray(q))
+    y, p, r = _ypr_jit(jnp.asarray(q))
     return float(y), float(p), float(r)
 
 
@@ -78,6 +87,11 @@ class SimBridge:
         self._step = jax.jit(
             lambda s, c: env_mod.step(params, s, c, use_estimator)
         )
+        self._encode_tel = jax.jit(tel_codec.encode_from_logic)
+        self._push_radio = jax.jit(
+            lambda ring, mtype, mflags, fields, step: delayline.push(
+                ring, jnp.int32(mtype), jnp.int32(mflags),
+                jnp.asarray(fields), step, jnp.bool_(True)))
         self._pending_radio: collections.deque = collections.deque()
         self._accum = {k: 0 for k in
                        ("mocap", "gps", "telemetry", "estimator", "odometry")}
@@ -94,16 +108,111 @@ class SimBridge:
         for _ in range(n_steps):
             self.tick(cmd)
 
+    def run_realtime(self, duration_s: float, cmd: env_mod.Command,
+                     rate_hz: float = 500.0, block: int = 5,
+                     on_quantum: Callable | None = None):
+        """Wall-clock-paced sim loop — the reference's real-time simulator
+        node (HardwareTimer + ros::Rate(500), AIFS_ROS/hiperlab_rostools/
+        src/Simulator/main.cpp:231,310), vs. the step-indexed lockstep
+        default (sync_simulator).
+
+        Runs `block` ticks per scheduling quantum, then sleeps until the
+        ABSOLUTE deadline t0 + k*block/rate_hz — drift-free like
+        ros::Rate / Timer::AdjustTimeBySeconds: a late quantum shortens
+        the next sleep instead of shifting every later deadline. Topic
+        cadences ride sim time (unchanged), so at rate_hz=500 the wire
+        rates hit the vehicle_monitor health bands in wall time too; at a
+        reduced rate they scale by rate_hz/nominal.
+
+        `cmd` may be a Command or a zero-arg callable returning one
+        (re-read each tick — the teleop hook can retarget mid-run).
+        `on_quantum(bridge, k)` runs after each quantum's ticks (before
+        the sleep) — the hook for teleop polling / live monitor rendering
+        at operator rates.
+
+        Returns a report dict: achieved tick rate, lateness stats, and
+        wall-clock topic rates with in-band checks (utils/monitor.BANDS,
+        scaled to the requested rate).
+        """
+        import time as _time
+
+        from agrifly_tpu.utils import monitor as monitor_mod
+
+        block = max(1, int(block))
+        period = block / float(rate_hz)
+        nominal_hz = 1e6 / float(self.params.dt_us)
+        scale = float(rate_hz) / nominal_hz
+
+        get_cmd = cmd if callable(cmd) else (lambda: cmd)
+        # pay the jit compiles outside the paced region (these are still
+        # real sim ticks — the reference node similarly only promises its
+        # rate once running). Every publish cadence fires within 10 ticks
+        # (slowest are the 100 Hz telemetry/estimator paths, every 5th
+        # tick at dt=2 ms), so 10 warm ticks compile every branch.
+        for _ in range(10):
+            self.tick(get_cmd())
+        # warm the radio-injection path too (discarded: no state change)
+        self._push_radio(
+            self.state.ring, 0, 0,
+            np.zeros(radio_codec.NUM_FIELDS, np.int32), self.state.step)
+        counts0 = dict(self.bus.counts)
+        n_quanta = max(1, int(round(duration_s * rate_hz / block)))
+        late = 0
+        max_late = 0.0
+        t0 = _time.perf_counter()
+        for k in range(1, n_quanta + 1):
+            for _ in range(block):
+                self.tick(get_cmd())
+            if on_quantum is not None:
+                on_quantum(self, k)
+            deadline = t0 + k * period
+            now = _time.perf_counter()
+            if now < deadline:
+                _time.sleep(deadline - now)
+            else:
+                late += 1
+                max_late = max(max_late, now - deadline)
+        wall = _time.perf_counter() - t0
+        ticks = n_quanta * block
+
+        vid = self.vehicle_id
+        topic_hz = {}
+        for name, topic in (("mocap", f"mocap_output{vid}"),
+                            ("telemetry", f"telemetry{vid}"),
+                            ("cmd", f"radio_command{vid}"),
+                            ("truth", f"simulator_truth{vid}"),
+                            ("imu", f"imu_output{vid}"),
+                            ("gps", f"gps_output{vid}")):
+            topic_hz[name] = (self.bus.counts.get(topic, 0)
+                              - counts0.get(topic, 0)) / wall
+        bands_ok = {}
+        for name in ("mocap", "telemetry", "cmd"):
+            lo, hi = monitor_mod.BANDS[name]
+            r = topic_hz[name]
+            if name == "cmd" and r == 0.0:
+                continue  # no commander attached — band not applicable
+            bands_ok[name] = bool(lo * scale <= r <= hi * scale)
+        return {
+            "ticks": ticks,
+            "wall_s": wall,
+            "target_tick_hz": float(rate_hz),
+            "achieved_tick_hz": ticks / wall,
+            "late_quanta": late,
+            "n_quanta": n_quanta,
+            "max_late_s": max_late,
+            "rate_scale": scale,
+            "topic_hz": topic_hz,
+            "bands_ok": bands_ok,
+        }
+
     def tick(self, cmd: env_mod.Command):
         # inject externally received radio commands into the delay line
         while self._pending_radio:
             raw = self._pending_radio.popleft()
             mtype, mflags, fields = radio_codec.bytes_to_fields(raw)
             self.state = self.state._replace(
-                ring=delayline.push(
-                    self.state.ring, jnp.int32(mtype), jnp.int32(mflags),
-                    jnp.asarray(fields), self.state.step, jnp.bool_(True),
-                )
+                ring=self._push_radio(
+                    self.state.ring, mtype, mflags, fields, self.state.step)
             )
 
         self.state, out = self._step(self.state, cmd)
@@ -174,7 +283,7 @@ class SimBridge:
             # T265-style odometry (Simulator/main.cpp:358-394): pose is
             # relative to the initial position; twist is body-frame.
             vel_b = np.asarray(
-                rot_ops.rotate_back(jnp.asarray(att), jnp.asarray(vel)),
+                _rotate_back_jit(jnp.asarray(att), jnp.asarray(vel)),
                 np.float64)
             self.bus.publish(
                 "/camera/t265/odom/sample",
@@ -188,13 +297,12 @@ class SimBridge:
                 ),
             )
         if fires("telemetry", RATE_TELEMETRY):
-            pkts, new_logic = tel_codec.encode_from_logic(logic)
+            pkts, new_logic = self._encode_tel(logic)
             self.state = self.state._replace(logic=new_logic)
             dec = tel_codec.decode(pkts)
             # YPR rebuilt from the wire attitude's vector part, exactly like
             # the reference publisher (SyncSimulator/main.cpp:595-602)
-            ypr = rot_ops.to_euler_ypr(
-                rot_ops.from_vector_part(jnp.asarray(dec.attitude)))
+            ypr = _wire_ypr_jit(jnp.asarray(dec.attitude))
             self.bus.publish(
                 f"telemetry{vid}",
                 msgs.Telemetry(
@@ -556,7 +664,7 @@ class OrchardBridge:
         )
         refs = self._oe._tracking_refs(p, s.planned, s.base.step)
         ref_pos, ref_vel, ref_acc, ref_thrust, ref_angvel_w = refs
-        ref_angvel_b = rot_ops.rotate_back(jnp.asarray(est_att), ref_angvel_w)
+        ref_angvel_b = _rotate_back_jit(jnp.asarray(est_att), ref_angvel_w)
         traj_time = (int(s.base.step) - int(s.planned.start_step)) * dt_us * 1e-6
         cdiag = controller_diagnostics(
             est_pos, est_vel, est_att,
