@@ -195,32 +195,23 @@ def _trace_batched_loop(params, treedef, specs, n_ticks):
         return jax.make_jaxpr(loop)(leaf_avals, noise_aval, noise_aval)
 
 
-def _get_call_batched(params, treedef, specs, n_ticks, interpret):
-    """Batched (fleet) variant: one kernel advances B vehicles 16 ticks.
-
-    The loop is `jax.vmap` of the single-vehicle tick chain — value-wise
-    exactly the fleet path's scanned jnp program — but vmap's batching
-    rules emit i1-vector reshapes/broadcasts and minor-dim concatenates
-    of (B, 1) pieces that Mosaic cannot lower, so the kernel body
-    re-evaluates the jaxpr through ops/launder.eval_jaxpr (bool->int32
-    carriers, masked-select column assembly; value-identical rewrites).
-    Bool leaves ride as int32 carriers end-to-end: packed by _pack,
-    loaded without the ->bool conversion, and converted back only after
-    the pallas_call returns.
+def _launder_batched_trace(params, treedef, specs, n_ticks):
+    """Laundered (Mosaic-lowerable) trace of the vmapped tick block plus
+    its constant carriers: returns (laundered, folded, consts) where
+    `laundered.jaxpr` is evaluated as
+    eval_jaxpr(laundered.jaxpr, folded, *consts, *leaf_carriers, ng, na).
 
     The laundering runs OUTSIDE the kernel, via `jax.make_jaxpr` over
     `launder.eval_jaxpr`: any literal-only equation it constant-folds
     (e.g. a broadcast of scalar 0 to i32[1] introduced by vmap) would
     otherwise materialize as a captured array constant inside the kernel
     trace, which Pallas rejects. Folded concretes surface as the
-    laundered trace's consts and ride into the kernel as extra inputs;
-    the kernel body plain-evals the already-rewritten jaxpr.
-    """
-    key = ("batched", id(params), treedef, specs, n_ticks, interpret)
-    hit = _CACHE.get(key)
-    if hit is not None and hit[0] is params:
-        return hit[1]
+    laundered trace's consts and ride into the kernel as extra inputs.
 
+    Shared by _get_call_batched and the parity test
+    (tests/test_pallas_frame.py) so the test evaluates EXACTLY the
+    program the kernel evaluates (ADVICE r3).
+    """
     from agrifly_tpu.ops import launder
 
     closed = _trace_batched_loop(params, treedef, specs, n_ticks)
@@ -234,7 +225,40 @@ def _get_call_batched(params, treedef, specs, n_ticks, interpret):
     laundered = jax.make_jaxpr(
         lambda cs, ls, ng, na: launder.eval_jaxpr(closed.jaxpr, cs, *ls, ng, na)
     )(const_avals, carrier_avals, noise_aval, noise_aval)
+    # ADVICE r3: _np_carrier would ship a bool const as int32 while the
+    # constvar aval stays bool, and eval_jaxpr does no conversion — a
+    # bool-consuming eqn would silently receive int32. No bool consts
+    # arise today; fail loudly if the laundering ever leaves one.
+    for c in laundered.consts:
+        if jnp.dtype(c.dtype) == jnp.bool_:
+            raise AssertionError(
+                "laundered trace captured a bool const; launder must "
+                "rewrite bools to int32 carriers")
     folded = [launder._np_carrier(c) for c in laundered.consts]
+    return laundered, folded, consts
+
+
+def _get_call_batched(params, treedef, specs, n_ticks, interpret):
+    """Batched (fleet) variant: one kernel advances B vehicles 16 ticks.
+
+    The loop is `jax.vmap` of the single-vehicle tick chain — value-wise
+    exactly the fleet path's scanned jnp program — but vmap's batching
+    rules emit i1-vector reshapes/broadcasts and minor-dim concatenates
+    of (B, 1) pieces that Mosaic cannot lower, so the kernel body
+    re-evaluates the jaxpr through ops/launder.eval_jaxpr (bool->int32
+    carriers, masked-select column assembly; value-identical rewrites).
+    Bool leaves ride as int32 carriers end-to-end: packed by _pack,
+    loaded without the ->bool conversion, and converted back only after
+    the pallas_call returns.
+    """
+    key = ("batched", id(params), treedef, specs, n_ticks, interpret)
+    hit = _CACHE.get(key)
+    if hit is not None and hit[0] is params:
+        return hit[1]
+
+    laundered, folded, consts = _launder_batched_trace(
+        params, treedef, specs, n_ticks)
+    const_specs = tuple((tuple(c.shape), jnp.dtype(c.dtype)) for c in consts)
     folded_specs = tuple((tuple(c.shape), jnp.dtype(c.dtype)) for c in folded)
 
     def _load_carrier(ref, shape):

@@ -1,0 +1,116 @@
+"""Hardware parity artifact for the fused Pallas tick kernel.
+
+tests/test_pallas_frame.py proves the kernel's *program* (the laundered
+jaxpr) equals the scanned jnp loop, but evaluates it outside pallas_call
+(interpret-mode inlining explodes the CPU compile). This script executes
+the REAL `pl.pallas_call` on the TPU — single-vehicle `frame_ticks` and
+the batched fleet `frame_ticks_batched` — against the jnp reference at
+cold and warm (40-frame flight) states, and prints one JSON line per
+check so the results can be pinned as a checked-in artifact
+(VERIFY_r04.json) instead of prose. Round-3 verdict weak #3.
+
+Pass criteria (same contract as the CI program-parity test): every
+discrete leaf (FSM codes, panic, rings, counters, PRNG key) bit-equal;
+float leaves within the cross-program FMA-contraction ulp band
+(rtol 2e-5 / atol 1e-5 over a 16-tick block).
+
+    python -m benchmarks.verify_pallas_frame [--cpu]
+"""
+
+import json
+import sys
+
+from benchmarks import _util
+
+
+def _compare(ref, out, tag):
+    import jax
+    import numpy as np
+
+    la, ta = jax.tree_util.tree_flatten(ref)
+    lb, tb = jax.tree_util.tree_flatten(out)
+    assert ta == tb
+    n_bit = 0
+    worst = 0.0
+    ok = True
+    bad = []
+    for i, (x, y) in enumerate(zip(la, lb)):
+        x, y = np.asarray(x), np.asarray(y)
+        if np.array_equal(x, y):
+            n_bit += 1
+            continue
+        if np.issubdtype(x.dtype, np.floating):
+            err = float(np.max(np.abs(x - y) / (np.abs(x) + 1e-5)))
+            worst = max(worst, err)
+            if not np.allclose(x, y, rtol=2e-5, atol=1e-5):
+                ok = False
+                bad.append(i)
+        else:
+            ok = False
+            bad.append(i)
+    line = {
+        "check": tag, "pass": bool(ok),
+        "bit_equal_leaves": n_bit, "total_leaves": len(la),
+        "worst_float_rel": worst,
+    }
+    if bad:
+        line["bad_leaves"] = bad
+    print(json.dumps(line))
+    return ok
+
+
+def main(argv):
+    argv = _util.force_cpu_if_flagged(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from agrifly_tpu.sim import orchard_env, pallas_frame
+
+    on_tpu = jax.devices()[0].platform != "cpu"
+    interpret = not on_tpu
+    params = orchard_env.make_params(
+        width=160, height=120, n_candidates=64, pyramid_capacity=8,
+        planner_rounds=1, use_pallas=False, start_flight_time=0.5,
+        noise_scale=1.0)
+
+    cold = orchard_env.init_state(params, jax.random.PRNGKey(0))
+    fly = jax.jit(lambda s: orchard_env.fly(params, s, 40)[0])
+    warm = jax.block_until_ready(fly(cold))
+
+    ok = True
+    for tag, state in (("single_cold", cold), ("single_warm", warm)):
+        noise = jax.random.normal(
+            jax.random.PRNGKey(7), (params.steps_per_frame, 2, 3),
+            jnp.float32)
+        ref = jax.jit(
+            lambda s: orchard_env.frame_ticks_jnp(params, s, noise))(state)
+        out = jax.jit(
+            lambda s: pallas_frame.frame_ticks(
+                params, s, noise, interpret=interpret))(state)
+        ok &= _compare(ref, out, f"pallas_frame_{tag}")
+
+    # fleet kernel at fleet shapes: B=16, vehicle 0 warmed so discrete
+    # branches diverge across the batch
+    B = 16
+    keys = jax.random.split(jax.random.PRNGKey(11), B)
+    bstate = jax.vmap(lambda k: orchard_env.init_state(params, k))(keys)
+    bstate = jax.tree_util.tree_map(
+        lambda bl, wl: bl.at[0].set(wl), bstate, warm)
+    noise = jax.random.normal(
+        jax.random.PRNGKey(5), (B, params.steps_per_frame, 2, 3),
+        jnp.float32)
+    ref = jax.jit(jax.vmap(
+        lambda s, n: orchard_env.frame_ticks_jnp(params, s, n)))(
+            bstate, noise)
+    out = jax.jit(
+        lambda s: pallas_frame.frame_ticks_batched(
+            params, s, noise, interpret=interpret))(bstate)
+    ok &= _compare(ref, out, f"pallas_frame_fleet_b{B}")
+
+    print(json.dumps({"check": "all", "pass": bool(ok)}))
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:]))

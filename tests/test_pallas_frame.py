@@ -98,21 +98,23 @@ def test_pallas_safe_program_matches_scan_cold_and_hot():
 
 
 def _batched_kernel_jaxpr_eval(params, bstate, noise):
-    """Evaluate the EXACT jaxpr pallas_frame._get_call_batched runs in the
-    fleet kernel (same trace helper), through ops/launder.eval_jaxpr —
-    proving the laundered program computes the fleet tick block; the VMEM
-    plumbing is exercised on TPU hardware."""
+    """Evaluate the EXACT program pallas_frame._get_call_batched runs in
+    the fleet kernel: the shared `_launder_batched_trace` helper builds
+    the laundered jaxpr + folded consts, and we eval it with the same
+    argument order the kernel uses (folded, consts, leaf carriers,
+    noise) — so a folded-const packing or argument-order regression
+    fails here on CPU, not only on TPU hardware (ADVICE r3)."""
     from agrifly_tpu.ops import launder
     from agrifly_tpu.sim import pallas_frame
 
     n_ticks = int(noise.shape[1])
     leaves, treedef = jax.tree_util.tree_flatten(bstate)
     specs = tuple((tuple(np.shape(l)), jnp.dtype(l.dtype)) for l in leaves)
-    closed = pallas_frame._trace_batched_loop(params, treedef, specs, n_ticks)
-    consts = [launder._np_carrier(c) for c in closed.consts]
+    laundered, folded, consts = pallas_frame._launder_batched_trace(
+        params, treedef, specs, n_ticks)
     carriers = [launder.to_carrier(l) for l in leaves]
-    outs = launder.eval_jaxpr(
-        closed.jaxpr, consts, *carriers,
+    outs = jax.core.eval_jaxpr(
+        laundered.jaxpr, folded, *consts, *carriers,
         jnp.asarray(noise[:, :, 0, :]), jnp.asarray(noise[:, :, 1, :]))
     outs = [launder.from_carrier(o, dt) for o, (_, dt) in zip(outs, specs)]
     return jax.tree_util.tree_unflatten(treedef, outs)
