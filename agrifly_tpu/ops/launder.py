@@ -94,6 +94,49 @@ def _minor_concat(invals, out_shape, dtype):
     return acc
 
 
+def _blendable(c):
+    """True if _blend_rank1 is exact for this dtype (32-bit int/float)."""
+    dt = jnp.dtype(c.dtype)
+    return dt in (jnp.dtype(jnp.int32), jnp.dtype(jnp.uint32),
+                  jnp.dtype(jnp.float32))
+
+
+def _blend_rank1(m, c0, c1):
+    """select(m, c1, c0) as the exact delta-blend c0 + m*(c1-c0).
+
+    m is an int32 0/1 carrier.  Integer arithmetic wraps (two's
+    complement) in XLA, so c0 + 1*(c1-c0) == c1 and c0 + 0*(...) == c0
+    bit-for-bit for int32/uint32.  float32 goes through an int32 bitcast
+    view, which preserves every payload (NaN, -0.0) exactly."""
+    dt = jnp.dtype(c0.dtype)
+    if dt == jnp.dtype(jnp.float32):
+        i0 = lax.bitcast_convert_type(c0, jnp.int32)
+        i1 = lax.bitcast_convert_type(c1, jnp.int32)
+        return lax.bitcast_convert_type(i0 + m * (i1 - i0), jnp.float32)
+    m = m.astype(dt)
+    return c0 + m * (c1 - c0)
+
+
+def _broadcast_in_dim(x, eqn):
+    """broadcast_in_dim with leading-mapped operand dims, respelled to add
+    ONE trailing dim per step.  Mosaic lowers a rank-increasing broadcast
+    by first shape-casting the operand to the output rank ((B,) -> (B,m,n)
+    goes via tpu.reshape (B,) -> (B,1,1)), and that multi-dim shape cast
+    is unsupported ("infer-vector-layout: unsupported shape cast" — the
+    fleet kernel's hardware-compile blocker).  Appending a single trailing
+    dim at a time ((B,) -> (B,m) -> (B,m,n)) lowers fine (probed on v5e).
+    Value-identical: same elements, same dtype."""
+    dims = tuple(int(d) for d in eqn.params["broadcast_dimensions"])
+    oshape = tuple(eqn.params["shape"])
+    in_rank, out_rank = len(x.shape), len(oshape)
+    if (out_rank - in_rank >= 2 and dims == tuple(range(in_rank))):
+        y = x
+        for k in range(in_rank, out_rank):
+            y = lax.broadcast_in_dim(y, oshape[:k + 1], tuple(range(k)))
+        return y
+    return eqn.primitive.bind(x, **eqn.params)
+
+
 def eval_jaxpr(jaxpr, consts, *args):
     """Evaluate `jaxpr` with the laundering rewrites.
 
@@ -135,8 +178,18 @@ def eval_jaxpr(jaxpr, consts, *args):
             if pred.shape != oshape:
                 pred = jnp.broadcast_to(pred.reshape((1,) * len(oshape)),
                                         oshape)
-            # same-shape transient i1: the one form Mosaic lowers
-            out = lax.select_n(pred != 0, *cases)
+            if len(oshape) == 1 and len(cases) == 2 and _blendable(cases[0]):
+                # rank-1 i1 selects crash Mosaic's VectorLayout join when
+                # the pred rode through a minor-dim squeeze (a vmapped
+                # `vec[i]` pick) before meeting a loop-carried operand
+                # (layout.h CHECK "arr.size() >= layout_rank").  Exact
+                # delta-blend instead: c0 + m*(c1-c0) on 32-bit integer
+                # views (wraparound-exact for ints; f32 via bitcast so
+                # NaN/-0 payloads are preserved bit-for-bit).
+                out = _blend_rank1(pred, cases[0], cases[1])
+            else:
+                # same-shape transient i1: the one form Mosaic lowers
+                out = lax.select_n(pred != 0, *cases)
 
         elif name == "convert_element_type":
             new = eqn.params["new_dtype"]
@@ -167,6 +220,9 @@ def eval_jaxpr(jaxpr, consts, *args):
                 out = _minor_concat(invals, oaval.shape, dtype)
             else:
                 out = eqn.primitive.bind(*invals, **eqn.params)
+
+        elif name == "broadcast_in_dim":
+            out = _broadcast_in_dim(invals[0], eqn)
 
         elif name == "iota":
             if jnp.dtype(eqn.params["dtype"]) == jnp.bool_:
@@ -208,6 +264,22 @@ def eval_jaxpr(jaxpr, consts, *args):
     return [read(v) for v in jaxpr.outvars]
 
 
+def _canon_carry(v):
+    """Canonicalize a rank-1 loop carry by scalar re-assembly.
+
+    Mosaic rotates scan-carry vector layouts between iterations; when a
+    body value with an implicit-dim layout (e.g. a minor-dim squeeze, a
+    2-D reduce) meets such a carry, VectorLayout inference dies with
+    "Check failed: arr.size() >= layout_rank(implicit_dim)".  Rebuilding
+    every rank-1 carry from scalar extracts at the body boundary (the
+    ops/lin3.relayout trick, applied mechanically) pins each iteration's
+    carry to the canonical layout.  Value-identical; XLA folds it away on
+    the CPU/jnp path."""
+    if getattr(v, "ndim", 0) == 1 and v.shape[0] > 1:
+        return jnp.stack([v[i] for i in range(v.shape[0])])
+    return v
+
+
 def _eval_scan(eqn, invals):
     p = eqn.params
     closed = p["jaxpr"]
@@ -220,7 +292,8 @@ def _eval_scan(eqn, invals):
     def body(c, x):
         outs = eval_jaxpr(closed.jaxpr, jconsts, *consts, *c,
                           *(x if x is not None else ()))
-        return tuple(outs[:ncar]), tuple(outs[ncar:])
+        return (tuple(_canon_carry(o) for o in outs[:ncar]),
+                tuple(outs[ncar:]))
 
     carry, ys = lax.scan(body, carry, xs if xs else None,
                          length=p["length"], reverse=p["reverse"],
