@@ -55,22 +55,32 @@ def _teleop_loop(args, params, orchard_env, onboard):
     else:
         raise SystemExit(f"unknown --teleop mode: {args.teleop}")
 
+    # Fly BLK frames per jit call (the scanned fly block, fused tick
+    # kernel inside on TPU) and poll the operator between blocks: the
+    # per-frame host dispatch that made this the framework's slowest
+    # surface is gone, and a kill lands within one block (the 30 ms radio
+    # delay is 15 ticks < 1 frame, so the onboard FSM sees it inside the
+    # same block it was pushed in).
+    BLK = 4  # ~128 ms of sim per poll; kill latency <= one block
     # disarmed: planning/flight gated out until the start button
     disarmed = params._replace(start_flight_step=jnp.int32(2**30))
-    frame_fns = {False: jax.jit(lambda s: orchard_env.frame_step(disarmed, s))}
+    fly_fns = {False: jax.jit(lambda s: orchard_env.fly(disarmed, s, BLK)[0])}
     state = orchard_env.init_state(params, jax.random.PRNGKey(args.seed))
     dt = float(params.base.dt_us) * 1e-6
     armed = killed = False
-    print(f"teleop ({args.teleop}): press start to arm, red to kill")
-    for b in range(args.frames):
+    print(f"teleop ({args.teleop}): press start to arm, red to kill "
+          f"({BLK} frames per block)")
+    t_wall = time.perf_counter()
+    block_walls = []
+    for b in range(max(1, args.frames // BLK)):
         t = float(int(state.base.step)) * dt
         jsv = js.poll(t)
         if jsv.buttonStart and not armed:
             armed = True
             armed_params = params._replace(
                 start_flight_step=state.base.step + jnp.int32(1))
-            frame_fns[True] = jax.jit(
-                lambda s: orchard_env.frame_step(armed_params, s))
+            fly_fns[True] = jax.jit(
+                lambda s: orchard_env.fly(armed_params, s, BLK)[0])
             print(f"t={t:6.2f}s ARMED — mission start (start button)")
         if jsv.buttonRed and not killed:
             killed = True
@@ -80,9 +90,12 @@ def _teleop_loop(args, params, orchard_env, onboard):
                                     state.base.step, jnp.bool_(True))))
             print(f"t={t:6.2f}s KILL — emergency-kill on the radio "
                   f"(red button)")
-        state, _ = frame_fns[armed](state)
+        t_blk = time.perf_counter()
+        state = fly_fns[armed](state)
+        state = jax.block_until_ready(state)
+        block_walls.append(time.perf_counter() - t_blk)
         fs = int(state.base.logic.fs)
-        if (b + 1) % 31 == 0 or fs == onboard.FS_KILLED:
+        if (b + 1) % 8 == 0 or fs == onboard.FS_KILLED:
             pos = np.asarray(state.base.plant.pos)
             panic = int(state.base.logic.panic_reason)
             print(f"t={t:6.2f}s pos=({pos[0]:7.2f},{pos[1]:6.2f},"
@@ -93,6 +106,17 @@ def _teleop_loop(args, params, orchard_env, onboard):
             break
     if hasattr(js, "close"):
         js.close()
+    wall = time.perf_counter() - t_wall
+    sim_time = int(state.base.step) * dt
+    msg = (f"teleop flew {sim_time:.1f}s of sim time in {wall:.1f}s wall "
+           f"({sim_time / wall:.2f}x realtime incl. compile)")
+    if len(block_walls) > 2:
+        # blocks after the compile(s): steady-state teleop rate
+        steady = sorted(block_walls)[:max(1, len(block_walls) - 2)]
+        blk_sim = BLK * params.steps_per_frame * dt
+        msg += (f"; steady state {blk_sim * len(steady) / sum(steady):.2f}x "
+                f"realtime (poll every {blk_sim * 1e3:.0f} ms of sim)")
+    print(msg)
     return 0
 
 
@@ -285,12 +309,13 @@ def main(argv=None):
         land=args.land or args.traj_file is not None,
         mesh_scene=mesh_scene,
         # the fused tick kernel is the single-vehicle latency path inside
-        # the scanned fly block; fleets vmap frame_step, and the
-        # frame-by-frame host loops (record/teleop) keep the jnp scan — a
-        # STANDALONE jit of the kernel pays ~35 ms of per-buffer host
-        # dispatch through the tunnel (126 leaves + 138 consts)
+        # the scanned fly block; teleop flies scanned blocks too (operator
+        # polls between blocks), so it rides the kernel as well. Fleets
+        # vmap frame_step; --record publishes per frame and keeps the jnp
+        # scan — a STANDALONE jit of the kernel pays ~35 ms of per-buffer
+        # host dispatch through the tunnel (126 leaves + 138 consts)
         fused_ticks=(on_tpu and max(1, args.fleet) == 1
-                     and args.record is None and args.teleop is None),
+                     and args.record is None),
     )
     if args.record:
         # rosbag_record_airsim.sh workflow: drive the orchard loop through
