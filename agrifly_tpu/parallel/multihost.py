@@ -110,3 +110,51 @@ def make_global_fleet_step(params, mesh, n_envs: int, n_substeps: int = 1,
     return sharding.make_fleet_step(
         params, mesh, n_envs, n_substeps=n_substeps,
         use_estimator=use_estimator)
+
+
+def init_global_orchard_fleet(params, mesh, n_envs: int, base_seed: int = 0,
+                              lane_spacing: float = 3.0):
+    """Globally-sharded orchard fleet state (vehicles abreast in y), SPMD.
+
+    The single-host sharding.init_orchard_fleet materializes the full
+    batch on the host then device_puts; across processes each host must
+    only materialize its own shard, so init runs under jit with an
+    env-axis out_sharding (same trick as init_global_fleet)."""
+    import jax
+    import jax.numpy as jnp
+
+    from agrifly_tpu.parallel import sharding
+    from agrifly_tpu.sim import orchard_env
+
+    shard = sharding.env_sharding(mesh)
+
+    def init(seed):
+        keys = jax.random.split(jax.random.PRNGKey(seed), n_envs)
+        lanes = (jnp.arange(n_envs, dtype=jnp.float32)
+                 - (n_envs - 1) / 2.0) * lane_spacing
+        spawns = jnp.stack(
+            [jnp.zeros(n_envs), lanes, jnp.zeros(n_envs)], axis=1)
+        return jax.vmap(
+            lambda k, p: orchard_env.init_state(params, k, pos=p))(
+                keys, spawns)
+
+    shardings = jax.tree_util.tree_map(
+        lambda _: shard, jax.eval_shape(init, base_seed))
+    return jax.jit(init, out_shardings=shardings)(base_seed)
+
+
+def make_global_orchard_step(params, mesh, n_envs: int, n_frames: int = 1):
+    """The FULL perception-plan-act orchard frame (render -> RAPPIDS ->
+    16 tracked ticks) sharded over a process-spanning mesh — SURVEY §5's
+    "DCN only for multi-host env sharding" applied to the flagship
+    config-#4 workload, not just the physics fleet.
+
+    Delegates to sharding.make_orchard_fleet_step: after
+    jax.distributed.initialize the same shard_map program runs SPMD
+    across hosts; each process renders/plans/tracks its local vehicle
+    block and only the psum'd OrchardFleetMetrics cross DCN.
+    Exercised by tests/test_multihost.py (2 procs x 4 CPU devices)."""
+    from agrifly_tpu.parallel import sharding
+
+    return sharding.make_orchard_fleet_step(
+        params, mesh, n_envs, n_frames=n_frames)

@@ -69,6 +69,49 @@ with open(sys.argv[1], "w") as f:
 """
 
 
+_ORCHARD_WORKER = r"""
+import json, os, sys
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=4").strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+from agrifly_tpu.parallel import multihost as mh
+
+assert mh.initialize_from_env(), "env launch vars missing"
+pid, nproc = mh.process_info()
+assert nproc == 2, nproc
+
+from agrifly_tpu.sim import orchard_env
+
+# small frame so 2 frames of render+plan+track stay CPU-friendly
+params = orchard_env.make_params(
+    width=64, height=48, n_candidates=16, pyramid_capacity=4,
+    planner_rounds=1, use_pallas=False, start_flight_time=0.2,
+    fused_ticks=False)
+mesh = mh.global_env_mesh()
+N = 8
+states = mh.init_global_orchard_fleet(params, mesh, N, base_seed=5)
+step = mh.make_global_orchard_step(params, mesh, N, n_frames=2)
+for _ in range(2):
+    states, metrics = step(states)
+out = dict(
+    process=pid,
+    n_global=len(jax.devices()), n_local=len(jax.local_devices()),
+    mean_pos=[float(x) for x in jax.device_get(metrics.mean_pos)],
+    num_panicked=int(jax.device_get(metrics.num_panicked)),
+    num_plans=int(jax.device_get(metrics.num_plans)),
+    num_landed=int(jax.device_get(metrics.num_landed)),
+)
+with open(sys.argv[1], "w") as f:
+    json.dump(out, f)
+"""
+
+
 def _free_port():
     s = socket.socket()
     s.bind(("127.0.0.1", 0))
@@ -111,3 +154,43 @@ def test_two_process_global_mesh(tmp_path):
     assert r0["mean_pos"][2] > 0.001
     assert r0["num_panicked"] == 0
     assert np.isfinite(r0["mean_speed"])
+
+
+def test_two_process_orchard_loop(tmp_path):
+    """The FULL render->plan->track orchard frame crosses a process
+    boundary: 2 procs x 4 CPU devices fly 4 frames of the config-#4
+    workload sharded over the global mesh; the psum'd OrchardFleetMetrics
+    must be bit-identical on both processes and show real flight."""
+    port = _free_port()
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    procs, outs = [], []
+    for pid in range(2):
+        out = tmp_path / f"orchard{pid}.json"
+        outs.append(out)
+        env = dict(os.environ)
+        env.pop("JAX_PLATFORMS", None)
+        env.update({
+            "AGRIFLY_COORD": f"127.0.0.1:{port}",
+            "AGRIFLY_NPROC": "2",
+            "AGRIFLY_PROC_ID": str(pid),
+            "PYTHONPATH": repo + os.pathsep + env.get("PYTHONPATH", ""),
+        })
+        procs.append(subprocess.Popen(
+            [sys.executable, "-c", _ORCHARD_WORKER, str(out)], env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))
+    logs = [p.communicate(timeout=900)[0] for p in procs]
+    for p, log in zip(procs, logs):
+        assert p.returncode == 0, log[-3000:]
+
+    r0, r1 = (json.load(open(o)) for o in outs)
+    assert r0["n_global"] == r1["n_global"] == 8
+    assert r0["n_local"] == r1["n_local"] == 4
+    # replicated psums agree bit-for-bit across the process boundary
+    assert r0["mean_pos"] == r1["mean_pos"]
+    assert r0["num_panicked"] == r1["num_panicked"]
+    assert r0["num_plans"] == r1["num_plans"]
+    assert r0["num_landed"] == r1["num_landed"]
+    # the fleet actually flew the perception loop: climbing off the
+    # ground (4 frames = 0.26 s of sim: early takeoff), no panics
+    assert r0["mean_pos"][2] > 0.01, r0
+    assert r0["num_panicked"] == 0, r0
