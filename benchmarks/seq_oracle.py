@@ -104,7 +104,7 @@ def sequential_plan(params, depth_u16, key, vel0, acc0, grav, goal_cam,
             n_pyrs += 1
 
     return dict(labels=labels, best_idx=best_idx, best_cost=best_cost,
-                n_pyramids=n_pyrs, n_checked=n_checked)
+                n_pyramids=n_pyrs, n_checked=n_checked, pyramid_set=pyrs)
 
 
 def compare_on_scene(params, depth, key, vel0, acc0, grav, goal,
@@ -135,9 +135,61 @@ def compare_on_scene(params, depth, key, vel0, acc0, grav, goal,
         if checked.any() else 1.0
     cost_delta = (seq["best_cost"] - float(res.best_cost)
                   if seq["best_idx"] >= 0 and bool(res.found) else np.nan)
+
+    # ---- classify every disagreeing label (round-3 verdict weak #5) ----
+    # batch_conservative: batch says collision, sequential says free.
+    #   * coverage: the candidate IS free against the sequential loop's
+    #     own pyramid set — the batch partition merely inflated pyramids
+    #     at different points (pyramid-budget placement, the expected
+    #     benign class from the lazy semantics of cpp:270-273).
+    #   * geometry: in-collision even against the sequential pyramids —
+    #     would indicate a real checker divergence (expected 0).
+    #   gt_free counts how many of these the ray-sphere oracle calls
+    #   free, i.e. how many are safety-harmless conservatism.
+    # batch_optimistic: batch says free, sequential says collision.
+    #   * gt_free=True: the BATCH planner is right and the reference's
+    #     budget-limited lazy loop was the conservative one.
+    #   * gt_free=False: a batch false-free (must be 0: the planner is
+    #     pinned conservative vs the oracle by test_rappids).
+    from agrifly_tpu.planner import oracle as oracle_mod
+
+    gt_free_fn = jax.jit(
+        lambda t: oracle_mod.is_collision_free_ground_truth(params, depth, t))
+    check_fn = jax.jit(
+        lambda pyrs, t: rappids.collision_check(params, pyrs, t)[0])
+    seq_pyrs = seq["pyramid_set"]
+    cls = dict(batch_conservative_coverage=0,
+               batch_conservative_geometry=0,
+               batch_conservative_gt_free=0,
+               batch_optimistic_gt_free=0,
+               batch_optimistic_false_free=0)
+    for i in np.nonzero(checked)[0]:
+        seq_free = seq["labels"][i] == 1
+        if bool(batch_free[i]) == bool(seq_free):
+            continue
+        tr_i = jax.tree_util.tree_map(lambda x: x[i], tr)
+        gt_free = bool(gt_free_fn(tr_i))
+        if seq_free:  # batch conservative
+            if bool(check_fn(seq_pyrs, tr_i)):
+                cls["batch_conservative_coverage"] += 1
+            else:
+                cls["batch_conservative_geometry"] += 1
+            cls["batch_conservative_gt_free"] += int(gt_free)
+        else:  # batch optimistic
+            if gt_free:
+                cls["batch_optimistic_gt_free"] += 1
+            else:
+                cls["batch_optimistic_false_free"] += 1
+
     return dict(
         n_checked=int(seq["n_checked"]),
         label_agreement=float(agree),
+        n_disagree=int(sum(cls[k] for k in
+                           ("batch_conservative_coverage",
+                            "batch_conservative_geometry",
+                            "batch_optimistic_gt_free",
+                            "batch_optimistic_false_free"))),
+        **cls,
         seq_best_cost=float(seq["best_cost"]),
         batch_best_cost=float(res.best_cost),
         # negative = the sequential (reference) loop found a cheaper
@@ -196,6 +248,14 @@ def main(argv):
     _util.report("seq_oracle_mean_cost_delta",
                  float(np.nanmean([a["chosen_cost_delta"] for a in aggs])),
                  "cost")
+    tot = lambda k: int(np.sum([a[k] for a in aggs]))
+    print(json.dumps({
+        "disagreement_breakdown": {
+            k: tot(k) for k in (
+                "n_disagree", "batch_conservative_coverage",
+                "batch_conservative_geometry", "batch_conservative_gt_free",
+                "batch_optimistic_gt_free", "batch_optimistic_false_free")
+        }}))
 
 
 if __name__ == "__main__":
