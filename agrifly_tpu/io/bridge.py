@@ -538,6 +538,16 @@ class OrchardBridge:
         self.state = orchard_env.init_state(params, jax.random.PRNGKey(seed))
         self._frame = jax.jit(lambda s: orchard_env.frame_step(params, s))
         self.frame_count = 0
+        # inbound radio_command{id} -> onboard delay line (sync_simulator's
+        # radio subscriber, SyncSimulator/main.cpp:101-118): an external
+        # kill/idle/rates command reaches the onboard FSM through the real
+        # codec + 30 ms wire even while the autonomous mission flies
+        self._pending_radio: collections.deque = collections.deque()
+        self.bus.subscribe(f"radio_command{self.vehicle_id}", self._on_radio)
+        self._push_radio = jax.jit(
+            lambda ring, mtype, mflags, fields, step: delayline.push(
+                ring, jnp.int32(mtype), jnp.int32(mflags),
+                jnp.asarray(fields), step, jnp.bool_(True)))
         self.publish_images = bool(publish_images)
         # RGB pass exists for the procedural world (render/raycast.render_rgb)
         # and imported mesh worlds (render/meshscene.render_rgb)
@@ -604,8 +614,18 @@ class OrchardBridge:
             f"imageReceivedFlag{vid}",
             msgs.Header(stamp=stamp, seq=self.frame_count))
 
+    def _on_radio(self, msg: msgs.RadioCommand):
+        self._pending_radio.append(msg.raw[: radio_codec.RAW_PACKET_SIZE])
+
     def frame(self):
         from agrifly_tpu.offboard import estimators
+
+        while self._pending_radio:
+            raw = self._pending_radio.popleft()
+            mtype, mflags, fields = radio_codec.bytes_to_fields(raw)
+            self.state = self.state._replace(base=self.state.base._replace(
+                ring=self._push_radio(self.state.base.ring, mtype, mflags,
+                                      fields, self.state.base.step)))
 
         if self.publish_images and self.frame_count % self.image_throttle == 0:
             pre_t = int(self.state.base.step) * int(self.params.base.dt_us) * 1e-6
