@@ -60,8 +60,12 @@ def _teleop_loop(args, params, orchard_env, onboard):
     # per-frame host dispatch that made this the framework's slowest
     # surface is gone, and a kill lands within one block (the 30 ms radio
     # delay is 15 ticks < 1 frame, so the onboard FSM sees it inside the
-    # same block it was pushed in).
-    BLK = 4  # ~128 ms of sim per poll; kill latency <= one block
+    # same block it was pushed in). Block size on TPU: dispatching the
+    # 126-leaf state through the tunnel costs ~35 ms per jit call
+    # regardless of block length, so 4-frame blocks cap at ~2.9x realtime
+    # while 10-frame blocks (320 ms sim, ~60 ms wall per operator poll)
+    # reach ~5x. CPU keeps short blocks for test granularity.
+    BLK = 10 if jax.devices()[0].platform != "cpu" else 4
     # disarmed: planning/flight gated out until the start button
     disarmed = params._replace(start_flight_step=jnp.int32(2**30))
     fly_fns = {False: jax.jit(lambda s: orchard_env.fly(disarmed, s, BLK)[0])}
