@@ -74,20 +74,32 @@ def _teleop_loop(args, params, orchard_env, onboard):
     armed = killed = False
     print(f"teleop ({args.teleop}): press start to arm, red to kill "
           f"({BLK} frames per block)")
+    # Pipelined: dispatch block b, read block b-1's status — the host
+    # readback overlaps the in-flight block's compute. Operator time is
+    # known statically (start step + b*BLK frames), so polls never touch
+    # the device; only an arm/kill EVENT syncs the queue. Compile blocks
+    # (first call, first armed call) are timed out of the steady figure.
+    steps_per_blk = BLK * int(params.steps_per_frame)
+    start_step = int(state.base.step)
+    prev = None
+    ran = n_excl = 0
+    t_excl = 0.0
     t_wall = time.perf_counter()
-    block_walls = []
     for b in range(max(1, args.frames // BLK)):
-        t = float(int(state.base.step)) * dt
+        t = (start_step + b * steps_per_blk) * dt
         jsv = js.poll(t)
+        compile_blk = ran == 0
         if jsv.buttonStart and not armed:
             armed = True
+            compile_blk = True
             armed_params = params._replace(
-                start_flight_step=state.base.step + jnp.int32(1))
+                start_flight_step=jnp.int32(start_step + b * steps_per_blk + 1))
             fly_fns[True] = jax.jit(
                 lambda s: orchard_env.fly(armed_params, s, BLK)[0])
             print(f"t={t:6.2f}s ARMED — mission start (start button)")
         if jsv.buttonRed and not killed:
             killed = True
+            state = jax.block_until_ready(state)  # drain the queue
             ktype, kflags, kfields = radio_codec.make_kill_command()
             state = state._replace(base=state.base._replace(
                 ring=delayline.push(state.base.ring, ktype, kflags, kfields,
@@ -96,29 +108,35 @@ def _teleop_loop(args, params, orchard_env, onboard):
                   f"(red button)")
         t_blk = time.perf_counter()
         state = fly_fns[armed](state)
-        state = jax.block_until_ready(state)
-        block_walls.append(time.perf_counter() - t_blk)
-        fs = int(state.base.logic.fs)
-        if (b + 1) % 8 == 0 or fs == onboard.FS_KILLED:
-            pos = np.asarray(state.base.plant.pos)
-            panic = int(state.base.logic.panic_reason)
+        ran += 1
+        if compile_blk:
+            jax.block_until_ready(state)
+            t_excl += time.perf_counter() - t_blk
+            n_excl += 1
+        fs = None
+        if prev is not None and ((b + 1) % 8 == 0 or killed):
+            fs = int(prev.base.logic.fs)
+            pos = np.asarray(prev.base.plant.pos)
+            panic = int(prev.base.logic.panic_reason)
             print(f"t={t:6.2f}s pos=({pos[0]:7.2f},{pos[1]:6.2f},"
                   f"{pos[2]:5.2f}) fs={fs} "
                   f"panic={onboard.PANIC_REASON_NAMES.get(panic, panic)}")
+        prev = state
         if fs == onboard.FS_KILLED:
-            print("vehicle KILLED — motors off")
             break
     if hasattr(js, "close"):
         js.close()
+    state = jax.block_until_ready(state)
     wall = time.perf_counter() - t_wall
-    sim_time = int(state.base.step) * dt
+    if int(state.base.logic.fs) == onboard.FS_KILLED:
+        print("vehicle KILLED — motors off")
+    sim_time = (int(state.base.step) - start_step) * dt
     msg = (f"teleop flew {sim_time:.1f}s of sim time in {wall:.1f}s wall "
            f"({sim_time / wall:.2f}x realtime incl. compile)")
-    if len(block_walls) > 2:
-        # blocks after the compile(s): steady-state teleop rate
-        steady = sorted(block_walls)[:max(1, len(block_walls) - 2)]
-        blk_sim = BLK * params.steps_per_frame * dt
-        msg += (f"; steady state {blk_sim * len(steady) / sum(steady):.2f}x "
+    if ran > n_excl:
+        blk_sim = steps_per_blk * dt
+        steady = (wall - t_excl) / (ran - n_excl)
+        msg += (f"; steady state {blk_sim / steady:.2f}x "
                 f"realtime (poll every {blk_sim * 1e3:.0f} ms of sim)")
     print(msg)
     return 0
@@ -366,8 +384,34 @@ def main(argv=None):
         )
 
     frames_per_block = 31  # ~1 s of sim time
+
+    def _status_vec(s):
+        """Pack the printed status into ONE small array: the host reads a
+        single buffer per status line instead of ~6 (each read through the
+        tunnel drains the dispatch queue, so fewer+smaller reads matter)."""
+        f32 = jnp.float32
+        if fleet == 1:
+            return jnp.stack([
+                s.base.step.astype(f32), s.base.plant.pos[0],
+                s.base.plant.pos[1], s.base.plant.pos[2],
+                s.base.logic.fs.astype(f32),
+                s.base.logic.panic_reason.astype(f32),
+                s.plan_count.astype(f32), s.waypoint_idx.astype(f32),
+                s.mstage.astype(f32)])
+        pos = s.base.plant.pos
+        return jnp.stack([
+            s.base.step[0].astype(f32), pos[:, 0].min(), pos[:, 0].max(),
+            pos[:, 2].min(), pos[:, 2].max(),
+            (s.base.logic.panic_reason != 0).sum().astype(f32),
+            s.plan_count.sum().astype(f32),
+            (s.mstage == 2).sum().astype(f32)])
+
     if fleet == 1:
-        fly_block = jax.jit(lambda s: orchard_env.fly(params, s, frames_per_block))
+        def _fly_status(s):
+            s2, outs = orchard_env.fly(params, s, frames_per_block)
+            return s2, outs, _status_vec(s2)
+
+        fly_block = jax.jit(_fly_status)
     elif args.mesh:
         # shard the vehicle axis over the device mesh (full perception loop
         # per shard; metrics ride ICI psums)
@@ -382,72 +426,88 @@ def main(argv=None):
                 lambda _: shard_mod.env_sharding(mesh), state))
         _mesh_step = shard_mod.make_orchard_fleet_step(
             params, mesh, fleet, n_frames=frames_per_block)
+        _mesh_vec = jax.jit(_status_vec)
 
         def fly_block(s):
             s2, _metrics = _mesh_step(s)
-            return s2, None
+            return s2, None, _mesh_vec(s2)
         print(f"mesh: {mesh.devices.size} devices, "
               f"{fleet // mesh.devices.size} vehicles/device")
     else:
         # fly_fleet batches the perception frame with vmap and the tick
         # block through frame_step_fleet (one fused Pallas kernel when
         # params.fused_ticks); bit-identical to vmap(fly) on the jnp path
-        fly_block = jax.jit(
-            lambda s: orchard_env.fly_fleet(params, s, frames_per_block))
+        def _fly_fleet_status(s):
+            s2, outs = orchard_env.fly_fleet(params, s, frames_per_block)
+            return s2, outs, _status_vec(s2)
+
+        fly_block = jax.jit(_fly_fleet_status)
 
     print(f"agrifly_tpu demo: {jax.devices()[0].platform} backend, "
           f"{w}x{h} depth, goal {tuple(args.goal)}"
           + (f", fleet of {fleet}" if fleet > 1 else ""))
-    t_wall = time.perf_counter()
-    block_walls = []
-    blocks = max(1, args.frames // frames_per_block)
-    for b in range(blocks):
-        t_blk = time.perf_counter()
-        state, outs = fly_block(state)
-        jax.block_until_ready(state)
-        block_walls.append(time.perf_counter() - t_blk)
-        sim_t = int(np.asarray(state.base.step).reshape(-1)[0]) * 0.002
+    def _status(vec):
+        """Print one status line from the packed vec; returns
+        (panicked, done). One small device read (syncs up to vec's block)."""
+        v = np.asarray(vec)
+        sim_t = v[0] * 0.002
         if fleet == 1:
-            pos = np.asarray(state.base.plant.pos)
-            fs = int(state.base.logic.fs)
-            panic = int(state.base.logic.panic_reason)
-            plans = int(state.plan_count)
-            mstage = {0: "cruise", 1: "landing", 2: "complete"}[int(state.mstage)]
+            panic = int(v[5])
+            mstage = {0: "cruise", 1: "landing", 2: "complete"}[int(v[8])]
             print(
-                f"t={sim_t:6.2f}s pos=({pos[0]:7.2f},{pos[1]:6.2f},{pos[2]:5.2f}) "
-                f"fs={fs} panic={onboard.PANIC_REASON_NAMES.get(panic, panic)} "
-                f"plans={plans} wp={int(state.waypoint_idx)} {mstage}"
+                f"t={sim_t:6.2f}s pos=({v[1]:7.2f},{v[2]:6.2f},{v[3]:5.2f}) "
+                f"fs={int(v[4])} "
+                f"panic={onboard.PANIC_REASON_NAMES.get(panic, panic)} "
+                f"plans={int(v[6])} wp={int(v[7])} {mstage}"
             )
-            panicked = panic != 0
-            done = int(state.mstage) == 2
-        else:
-            pos = np.asarray(state.base.plant.pos)  # (N, 3)
-            panics = np.asarray(state.base.logic.panic_reason)
-            plans = int(np.asarray(state.plan_count).sum())
-            print(
-                f"t={sim_t:6.2f}s x=[{pos[:, 0].min():6.2f},{pos[:, 0].max():6.2f}] "
-                f"z=[{pos[:, 2].min():4.2f},{pos[:, 2].max():4.2f}] "
-                f"panics={int((panics != 0).sum())}/{fleet} plans={plans} "
-                f"landed={int((np.asarray(state.mstage) == 2).sum())}/{fleet}"
-            )
-            panicked = bool((panics != 0).any())
-            done = bool((np.asarray(state.mstage) == 2).all())
-        if panicked:
-            print("PANIC — aborting")
-            break
-        if done:
-            print("landed — mission complete")
-            break
-    wall = time.perf_counter() - t_wall
+            return panic != 0, int(v[8]) == 2
+        print(
+            f"t={sim_t:6.2f}s x=[{v[1]:6.2f},{v[2]:6.2f}] "
+            f"z=[{v[3]:4.2f},{v[4]:4.2f}] "
+            f"panics={int(v[5])}/{fleet} plans={int(v[6])} "
+            f"landed={int(v[7])}/{fleet}"
+        )
+        return int(v[5]) != 0, int(v[7]) == fleet
+
+    # Pipelined block loop: dispatch block b, read block b-READ_EVERY's
+    # packed status — ANY read through the tunnel drains the dispatch
+    # queue (measured: per-block multi-leaf reads degrade 12.4x -> 5.7x,
+    # no reads pipeline at 18.9x), so the loop reads ONE small buffer
+    # every READ_EVERY blocks. Status, panic-abort and landing-exit run
+    # up to READ_EVERY blocks (~4 s of sim) late.
+    READ_EVERY = 4
+    t_wall = time.perf_counter()
+    blocks = max(1, args.frames // frames_per_block)
+    state, outs, vec = fly_block(state)
+    jax.block_until_ready(vec)  # compile boundary
+    t_compiled = time.perf_counter()
+    prev_vec = vec
+    ran = 1
+    for b in range(1, blocks):
+        state, outs, vec = fly_block(state)
+        ran += 1
+        if b % READ_EVERY == 0:
+            panicked, done = _status(prev_vec)
+            if panicked:
+                print("PANIC — aborting")
+                break
+            if done:
+                print("landed — mission complete")
+                break
+        prev_vec = vec
+    jax.block_until_ready(state)
+    t_end = time.perf_counter()
+    wall = t_end - t_wall
+    _status(vec)
     sim_time = int(np.asarray(state.base.step).reshape(-1)[0]) * 0.002
     msg = (f"flew {sim_time:.1f}s of sim time in {wall:.1f}s wall "
            f"({sim_time / wall:.2f}x realtime incl. compile)")
-    if len(block_walls) > 1:
+    if ran > 1:
         # first block carries the jit compile; the rest are steady state
-        steady_wall = sum(block_walls[1:])
-        steady_sim = frames_per_block * params.steps_per_frame * 0.002 * (len(block_walls) - 1)
+        steady_wall = t_end - t_compiled
+        steady_sim = frames_per_block * params.steps_per_frame * 0.002 * (ran - 1)
         msg += (f"; steady state {steady_sim / steady_wall:.2f}x realtime "
-                f"({steady_wall / (len(block_walls) - 1) / frames_per_block * 1e3:.1f} ms/frame)")
+                f"({steady_wall / (ran - 1) / frames_per_block * 1e3:.1f} ms/frame)")
         if fleet > 1:
             msg += f"; aggregate {fleet * steady_sim / steady_wall:.1f}x realtime over {fleet} vehicles"
     print(msg)
@@ -459,7 +519,7 @@ def main(argv=None):
         # re-fly a short segment recording outputs for the CSV
         from agrifly_tpu.utils import simlog
 
-        _, outs = fly_block(state)
+        _, outs, _ = fly_block(state)
         if fleet > 1:  # log vehicle 0 of the batch (fly_fleet stacks
             # outputs (frames, B, ...))
             outs = jax.tree_util.tree_map(lambda x: x[:, 0], outs)
