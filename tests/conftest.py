@@ -17,3 +17,21 @@ jax.config.update("jax_platforms", "cpu")
 
 # allow float64 golden tests on CPU (TPU path stays float32)
 jax.config.update("jax_enable_x64", True)
+
+import pytest  # noqa: E402
+
+
+def pytest_addoption(parser):
+    parser.addoption(
+        "--slow", action="store_true", default=False,
+        help="also run tests marked slow (multi-minute: golden flights, "
+             "multihost, sharding equivalence, kernel parity)")
+
+
+def pytest_collection_modifyitems(config, items):
+    if config.getoption("--slow"):
+        return
+    skip = pytest.mark.skip(reason="slow; enable with --slow")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)

@@ -1,6 +1,7 @@
 """Test-trajectory library, motor test mode, float packets, gpsimu env
 mode, direction-cost planner."""
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -97,6 +98,7 @@ def test_gpsimu_estimator_env_mode():
     assert err < 0.3, err
 
 
+@pytest.mark.slow
 def test_find_fastest_direction_cost():
     from agrifly_tpu.planner import rappids
 
@@ -112,6 +114,7 @@ def test_find_fastest_direction_cost():
     assert float(res.best_cost) < 0  # progress along +z (camera forward)
 
 
+@pytest.mark.slow
 def test_rollout_fast_matches_rollout():
     """Cadence-specialized rollout has identical semantics to `rollout`.
 
@@ -184,6 +187,7 @@ def test_rollout_fast_nonzero_step_falls_back():
         env.rollout_fast(params, sb3, cmd, 20, False)
 
 
+@pytest.mark.slow
 def test_rollout_fast_entry_phase_resumes_midflight():
     """entry_phase=(mocap_acc, offboard_acc) specializes the cadence
     pattern for a warm (nonzero-step) state: identical discrete state and

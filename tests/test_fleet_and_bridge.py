@@ -2,6 +2,7 @@
 
 import dataclasses
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -222,6 +223,7 @@ def test_orchard_bridge_diagnostics_and_recorder(tmp_path):
     assert "position_estimate_W" in cds[-1]["input"]
 
 
+@pytest.mark.slow
 def test_orchard_bridge_image_topics(tmp_path):
     """depthImage/rgbImage publication at the frame cadence with correct
     encodings (AirSimBridge/main.cpp:126-163 topic parity), the

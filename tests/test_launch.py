@@ -10,8 +10,10 @@ surface including the operator's radio_command.
 import json
 
 from agrifly_tpu import launch
+import pytest
 
 
+@pytest.mark.slow
 def test_launch_bringup_arm_kill_bag(tmp_path):
     bag = tmp_path / "bag.jsonl"
     rc = launch.main([

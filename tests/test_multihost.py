@@ -17,6 +17,7 @@ import subprocess
 import sys
 
 import numpy as np
+import pytest
 
 _WORKER = r"""
 import json, os, sys
@@ -156,6 +157,7 @@ def test_two_process_global_mesh(tmp_path):
     assert np.isfinite(r0["mean_speed"])
 
 
+@pytest.mark.slow
 def test_two_process_orchard_loop(tmp_path):
     """The FULL render->plan->track orchard frame crosses a process
     boundary: 2 procs x 4 CPU devices fly 4 frames of the config-#4

@@ -85,6 +85,7 @@ def test_does_not_hit_trees(flight):
     assert bad == 0
 
 
+@pytest.mark.slow
 def test_waypoint_file_mission_lands(tmp_path):
     """trajectory.txt mission parity (agrifly.launch traj_file,
     ExampleVehicleStateMachine.cpp:450-465,702-730): fly a 3-waypoint file

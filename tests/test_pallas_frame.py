@@ -19,6 +19,7 @@ import numpy as np
 
 from agrifly_tpu.ops import pallas_mode
 from agrifly_tpu.sim import orchard_env
+import pytest
 
 
 def _mk(seed=0, frames=0, **kw):
@@ -82,6 +83,7 @@ def _assert_tree_equal(a, b):
             np.testing.assert_array_equal(x, y, err_msg=f"leaf {i}")
 
 
+@pytest.mark.slow
 def test_pallas_safe_program_matches_scan_cold_and_hot():
     for frames in (0, 40):
         params, state = _mk(frames=frames)
@@ -120,6 +122,7 @@ def _batched_kernel_jaxpr_eval(params, bstate, noise):
     return jax.tree_util.tree_unflatten(treedef, outs)
 
 
+@pytest.mark.slow
 def test_batched_laundered_program_matches_vmapped_scan():
     """Fleet (vmapped) tick block through the laundering rewrites ==
     jax.vmap(frame_ticks_jnp): discrete leaves bit-equal, floats to the
@@ -145,6 +148,7 @@ def test_batched_laundered_program_matches_vmapped_scan():
                            np.asarray(bstate.base.plant.pos))
 
 
+@pytest.mark.slow
 def test_frame_step_fleet_matches_vmapped_frame_step():
     """frame_step_fleet (jnp tick path) is bit-identical to
     jax.vmap(frame_step) — the perception/plan/mission split is pure code
@@ -166,6 +170,7 @@ def test_frame_step_fleet_matches_vmapped_frame_step():
                                           err_msg=f"leaf {i}")
 
 
+@pytest.mark.slow
 def test_pallas_safe_program_matches_scan_landing_stage():
     """Exercise the landing/mission-stage branches of the tick."""
     params, state = _mk(frames=30, land=True)

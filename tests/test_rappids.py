@@ -93,6 +93,7 @@ def test_monotonic_sections(params):
         assert np.all(dz >= -1e-4) or np.all(dz <= 1e-4)
 
 
+@pytest.mark.slow
 def test_plan_empty_scene_finds_trajectory(params):
     img = depth_image(9.0)
     goal = jnp.array([0.0, 0.0, 20.0], jnp.float32)  # straight ahead
@@ -117,6 +118,7 @@ def test_plan_blocked_scene_finds_nothing(params):
     assert int(res.num_collision_free) == 0
 
 
+@pytest.mark.slow
 def test_planner_is_conservative_vs_oracle(params):
     """MeasureConservativeness parity: planner-free => oracle-free."""
     img = scene_with_post(post_depth_m=2.0, post_x=(70, 90))
@@ -149,6 +151,7 @@ def test_planner_is_conservative_vs_oracle(params):
     assert (~fo).sum() > 0
 
 
+@pytest.mark.slow
 def test_plan_avoids_post(params):
     img = scene_with_post(post_depth_m=1.8, post_x=(70, 90))
     goal = jnp.array([0.0, 0.0, 20.0], jnp.float32)
@@ -191,6 +194,7 @@ def test_downsampled_inflation_conservative(params):
     assert fp.sum() > 0  # still useful
 
 
+@pytest.mark.slow
 def test_lazy_rounds_cut_false_collisions(params):
     """On-demand inflation (DepthImagePlanner.cpp:270-273 parity): at equal
     pyramid budget, lazy rounds seeded from uncovered deepest points must
@@ -227,6 +231,7 @@ def test_lazy_rounds_cut_false_collisions(params):
     assert false_free.sum() == 0, np.where(false_free)[0]
 
 
+@pytest.mark.slow
 def test_sequential_reference_oracle_agreement():
     """benchmarks/seq_oracle ports the reference's anytime control flow
     (random order + cost gate + on-demand inflation,

