@@ -247,6 +247,10 @@ def main(argv=None):
                     help="shard the fleet's vehicle axis over all visible "
                          "devices (shard_map; fleet must divide the device "
                          "count) — the multi-chip scale-out path")
+    ap.add_argument("--record-images", action="store_true",
+                    help="with --record: also publish + record the depth/"
+                         "rgb image topics (base64 in the JSONL; the "
+                         "reference's rosbag script excludes images too)")
     ap.add_argument("--record", type=str, default=None,
                     help="record every published topic (truth + planner/"
                          "controller diagnostics) to a JSONL file — the "
@@ -331,39 +335,47 @@ def main(argv=None):
         land=args.land or args.traj_file is not None,
         mesh_scene=mesh_scene,
         # the fused tick kernel is the single-vehicle latency path inside
-        # the scanned fly block; teleop flies scanned blocks too (operator
-        # polls between blocks), so it rides the kernel as well. Fleets
-        # vmap frame_step; --record publishes per frame and keeps the jnp
-        # scan — a STANDALONE jit of the kernel pays ~35 ms of per-buffer
-        # host dispatch through the tunnel (126 leaves + 138 consts)
-        fused_ticks=(on_tpu and max(1, args.fleet) == 1
-                     and args.record is None),
+        # the scanned fly block; teleop and --record fly scanned blocks
+        # too (operator polls / topic publishing between blocks), so they
+        # ride the kernel as well. Fleets vmap frame_step.
+        fused_ticks=(on_tpu and max(1, args.fleet) == 1),
     )
     if args.record:
         # rosbag_record_airsim.sh workflow: drive the orchard loop through
         # the topic bridge and bus-record everything it publishes
         from agrifly_tpu.io import bridge as bridge_mod
 
-        ob = bridge_mod.OrchardBridge(params, vehicle_id=1, seed=args.seed)
-        rec = bridge_mod.MessageRecorder(ob.bus, args.record)
+        # image topics are opt-in here: the recorder drops them anyway
+        # (rosbag_record_airsim.sh parity), and rendering + transferring
+        # ~2 MB/frame of unconsumed images dominates the wall clock
+        ob = bridge_mod.OrchardBridge(params, vehicle_id=1, seed=args.seed,
+                                      publish_images=args.record_images)
+        rec = bridge_mod.MessageRecorder(ob.bus, args.record,
+                                         record_images=args.record_images)
+        # publish-per-frame fidelity, but fly 16-frame blocks per jit call
+        # on TPU (bridge.fly_frames_block amortizes the ~35 ms/call host
+        # dispatch; topics are published from the stacked block outputs:
+        # 8/16/31-frame blocks measured 2.7x/4.4x/5.5x realtime)
+        BLK = 16 if on_tpu else 1
         print(f"agrifly_tpu demo (recording): {jax.devices()[0].platform} "
-              f"backend, {w}x{h} depth, -> {args.record}")
+              f"backend, {w}x{h} depth, {BLK} frames/block -> {args.record}")
         t_wall = time.perf_counter()
-        for b in range(args.frames):
-            ob.frame()
+        for b in range(max(1, args.frames // BLK)):
+            ob.fly_frames_block(BLK)
             st = ob.state
             if int(st.base.logic.panic_reason) != 0:
                 print("PANIC — aborting")
                 break
-            if (b + 1) % 31 == 0:
+            if ((b + 1) * BLK) % 32 < BLK:
                 pos = np.asarray(st.base.plant.pos)
                 print(f"t={int(st.base.step) * 0.002:6.2f}s "
                       f"pos=({pos[0]:7.2f},{pos[1]:6.2f},{pos[2]:5.2f}) "
                       f"plans={int(st.plan_count)}")
         rec.close()
         wall = time.perf_counter() - t_wall
-        print(f"recorded {rec.count} messages over "
-              f"{int(ob.state.base.step) * 0.002:.1f}s sim in {wall:.1f}s wall")
+        sim_s = int(ob.state.base.step) * 0.002
+        print(f"recorded {rec.count} messages over {sim_s:.1f}s sim in "
+              f"{wall:.1f}s wall ({sim_s / wall:.2f}x realtime incl. compile)")
         return 0
 
     import jax.numpy as jnp

@@ -75,6 +75,19 @@ def _ypr(q):
     return float(y), float(p), float(r)
 
 
+def _ypr_np(q):
+    """Host-numpy 3-2-1 euler (rot_ops.to_euler_ypr convention) for the
+    block row-publishing path: a _ypr_jit call per row costs a device
+    round trip, which dominates a whole published block."""
+    import math
+
+    w, x, y, z = (float(v) for v in np.asarray(q, np.float64).reshape(-1)[:4])
+    yaw = math.atan2(2 * x * y + 2 * w * z, x * x + w * w - z * z - y * y)
+    pitch = -math.asin(max(-1.0, min(1.0, 2 * x * z - 2 * w * y)))
+    roll = math.atan2(2 * y * z + 2 * w * x, z * z - y * y - x * x + w * w)
+    return yaw, pitch, roll
+
+
 class SimBridge:
     """Drives one vehicle's fused env and publishes the topic schema."""
 
@@ -520,10 +533,11 @@ class OrchardBridge:
     from, so it is the planner's input bit-for-bit at 1/8 the bandwidth
     of returning it through the scanned outputs.
 
-    NB: the bridge jits frame_step standalone (one host dispatch per
-    frame); build params with fused_ticks=False on TPU — a standalone
-    dispatch of the fused tick kernel pays ~35 ms of per-buffer host
-    transfer through the tunnel (the kernel is for the scanned fly jit)."""
+    frame() publishes one frame at a time; fly_frames_block(n) flies n
+    frames in ONE jit (orchard_env.fly_diag) and publishes every frame
+    from the stacked outputs — on TPU the per-call ~35 ms host dispatch
+    of the 126-leaf state amortizes over the block, and params can keep
+    fused_ticks=True (the kernel is embedded in the scanned jit)."""
 
     def __init__(self, params, vehicle_id=1, seed=0, bus: TopicBus | None = None,
                  publish_images=True, publish_rgb=None, image_downsample=1,
@@ -536,7 +550,6 @@ class OrchardBridge:
         self.vehicle_id = int(vehicle_id)
         self.bus = bus if bus is not None else TopicBus()
         self.state = orchard_env.init_state(params, jax.random.PRNGKey(seed))
-        self._frame = jax.jit(lambda s: orchard_env.frame_step(params, s))
         self.frame_count = 0
         # inbound radio_command{id} -> onboard delay line (sync_simulator's
         # radio subscriber, SyncSimulator/main.cpp:101-118): an external
@@ -556,70 +569,93 @@ class OrchardBridge:
         self.image_downsample = max(1, int(image_downsample))
         self.image_throttle = max(1, int(image_throttle))
         if self.publish_images:
-            def render_depth(s):
-                cam_att = raycast.camera_attitude(s.base.plant.att)
+            def render_depth(pos, att):
+                cam_att = raycast.camera_attitude(att)
                 if params.mesh is not None:
                     from agrifly_tpu.render import meshscene, pallas_meshscene
 
                     if params.use_pallas:
                         return pallas_meshscene.render_depth_batch(
                             params.render_cfg, params.mesh,
-                            s.base.plant.pos[None], cam_att[None])[0]
+                            pos[None], cam_att[None])[0]
                     return meshscene.render_depth(
-                        params.render_cfg, params.mesh, s.base.plant.pos, cam_att)
+                        params.render_cfg, params.mesh, pos, cam_att)
                 if params.use_pallas:
                     from agrifly_tpu.render import pallas_raycast
 
                     return pallas_raycast.render_depth_batch(
                         params.render_cfg, params.scene,
-                        s.base.plant.pos[None], cam_att[None])[0]
+                        pos[None], cam_att[None])[0]
                 return raycast.render_depth(
-                    params.render_cfg, params.scene, s.base.plant.pos, cam_att)
+                    params.render_cfg, params.scene, pos, cam_att)
 
             self._render_depth = jax.jit(render_depth)
 
-            def render_rgb(s):
-                cam_att = raycast.camera_attitude(s.base.plant.att)
+            def render_rgb(pos, att):
+                cam_att = raycast.camera_attitude(att)
                 if params.mesh is not None:
                     from agrifly_tpu.render import meshscene
 
                     return meshscene.render_rgb(
-                        params.render_cfg, params.mesh, s.base.plant.pos, cam_att)
+                        params.render_cfg, params.mesh, pos, cam_att)
                 return raycast.render_rgb(
-                    params.render_cfg, params.scene, s.base.plant.pos, cam_att)
+                    params.render_cfg, params.scene, pos, cam_att)
 
             self._render_rgb = jax.jit(render_rgb)
+        self._fly_blocks: Dict[int, Callable] = {}
 
-    def fly_frames(self, n: int):
-        for _ in range(n):
-            self.frame()
+    def fly_frames(self, n: int, block: int = 1):
+        """Fly n frames; block > 1 dispatches `block` frames per jit call
+        (fly_frames_block) — the fast path for recording on TPU."""
+        if block <= 1:
+            for _ in range(n):
+                self.frame()
+            return
+        done = 0
+        while done < n:
+            b = min(block, n - done)
+            self.fly_frames_block(b)
+            done += b
 
-    def _publish_images(self, stamp):
-        """Render from the pre-frame pose (what frame_step will consume)."""
+    def _publish_images(self, pos, att, stamp, seq):
+        """Publish the image topics for ONE frame, rendered from its
+        pre-frame pose (what frame_step consumed — bit-for-bit the
+        planner's input)."""
         vid = self.vehicle_id
         ds = self.image_downsample
-        depth = np.asarray(self._render_depth(self.state))[::ds, ::ds]
+        depth = np.asarray(self._render_depth(pos, att))[::ds, ::ds]
         mm = depth_to_mm16(
             depth, float(self.params.planner.cam.depth_scale))
         self.bus.publish(
             f"depthImage{vid}",
-            image_message(mm, "16UC1", stamp, seq=self.frame_count))
+            image_message(mm, "16UC1", stamp, seq=seq))
         if self.publish_rgb:
-            rgb = np.asarray(self._render_rgb(self.state))[::ds, ::ds]
+            rgb = np.asarray(self._render_rgb(pos, att))[::ds, ::ds]
             self.bus.publish(
                 f"rgbImage{vid}",
-                image_message(rgb.astype(np.uint8), "rgb8", stamp,
-                              seq=self.frame_count))
+                image_message(rgb.astype(np.uint8), "rgb8", stamp, seq=seq))
         self.bus.publish(
             f"imageReceivedFlag{vid}",
-            msgs.Header(stamp=stamp, seq=self.frame_count))
+            msgs.Header(stamp=stamp, seq=seq))
 
     def _on_radio(self, msg: msgs.RadioCommand):
         self._pending_radio.append(msg.raw[: radio_codec.RAW_PACKET_SIZE])
 
     def frame(self):
-        from agrifly_tpu.offboard import estimators
+        self.fly_frames_block(1)
 
+    def fly_frames_block(self, n: int):
+        """Fly `n` frames in ONE jit call (orchard_env.fly_diag) and
+        publish every frame's topic set from the stacked outputs.
+
+        Per-frame jit dispatch costs ~35 ms through the TPU tunnel (the
+        126-leaf state crosses the host boundary each call), which made
+        the recording workflow the framework's slowest surface; one
+        fly_diag block amortizes it over n frames. Inbound radio commands
+        are injected before the block, so their latency is <= one block.
+        Image topics render from each frame's PRE-frame pose (row i-1's
+        end pose) through the same batch kernel frame_step used — the
+        published depth stays the planner's input bit-for-bit."""
         while self._pending_radio:
             raw = self._pending_radio.popleft()
             mtype, mflags, fields = radio_codec.bytes_to_fields(raw)
@@ -627,22 +663,74 @@ class OrchardBridge:
                 ring=self._push_radio(self.state.base.ring, mtype, mflags,
                                       fields, self.state.base.step)))
 
-        if self.publish_images and self.frame_count % self.image_throttle == 0:
-            pre_t = int(self.state.base.step) * int(self.params.base.dt_us) * 1e-6
-            self._publish_images(pre_t)
-        s, outs = self._frame(self.state)
+        entry = self._fly_blocks.get(n)
+        if entry is None:
+            params = self.params
+            oe = self._oe
+
+            # the stacked outputs ride home as ONE (n, D) f32 matrix: a
+            # per-leaf device_get costs a tunnel round trip per leaf and
+            # drains the dispatch queue ~40 times per block. Every diag
+            # int fits f32 exactly (steps < 2^24, counters tiny).
+            aval = jax.eval_shape(lambda s: oe.fly_diag(params, s, n)[1],
+                                  self.state)
+            leaves_aval, treedef = jax.tree_util.tree_flatten(aval)
+            specs = [(tuple(l.shape), l.dtype) for l in leaves_aval]
+
+            def blk(s):
+                s2, outs = oe.fly_diag(params, s, n)
+                leaves = jax.tree_util.tree_leaves(outs)
+                packed = jnp.concatenate(
+                    [jnp.asarray(l).reshape(n, -1).astype(jnp.float32)
+                     for l in leaves], axis=1)
+                return s2, packed
+
+            entry = self._fly_blocks[n] = (jax.jit(blk), treedef, specs)
+        fn, treedef, specs = entry
+        pre_pos = np.asarray(self.state.base.plant.pos)
+        pre_att = np.asarray(self.state.base.plant.att)
+        s, packed = fn(self.state)
         self.state = s
-        self.frame_count += 1
+        mat = np.asarray(packed)  # single transfer
+        sizes = [int(np.prod(sh[1:], dtype=np.int64)) for sh, _ in specs]
+        cols = np.split(mat, np.cumsum(sizes)[:-1], axis=1)
+        outs = jax.tree_util.tree_unflatten(treedef, [
+            c.reshape((n,) + sh[1:]).astype(dt)
+            for c, (sh, dt) in zip(cols, specs)])
+
+        if self.publish_images:
+            # pre-frame pose of frame i = end pose of frame i-1
+            pos_seq = np.concatenate([pre_pos[None], outs["pos"][:-1]], 0)
+            att_seq = np.concatenate([pre_att[None], outs["att"][:-1]], 0)
+            dt = int(self.params.base.dt_us) * 1e-6
+            spf = int(self.params.steps_per_frame)
+            for i in range(n):
+                seq = self.frame_count + i
+                if seq % self.image_throttle == 0:
+                    pre_t = (int(outs["step"][i]) - spf) * dt
+                    self._publish_images(
+                        jnp.asarray(pos_seq[i]), jnp.asarray(att_seq[i]),
+                        pre_t, seq)
+
+        for i in range(n):
+            row = jax.tree_util.tree_map(lambda x: x[i], outs)
+            self.frame_count += 1
+            self._publish_row(row)
+
+    def _publish_row(self, row):
+        """Publish one frame's truth + planner/controller diagnostics
+        from a (host) fly_diag output row."""
+        import types
+
         vid = self.vehicle_id
         p = self.params
         dt_us = int(p.base.dt_us)
-        now_us = int(s.base.step) * dt_us
-        t = now_us * 1e-6
+        t = int(row["step"]) * dt_us * 1e-6
 
-        pos = np.asarray(outs["pos"], np.float64)
-        vel = np.asarray(outs["vel"], np.float64)
-        att = np.asarray(outs["att"], np.float64)
-        yaw, pitch, roll = _ypr(att)
+        pos = np.asarray(row["pos"], np.float64)
+        vel = np.asarray(row["vel"], np.float64)
+        att = np.asarray(row["att"], np.float64)
+        yaw, pitch, roll = _ypr_np(att)
         self.bus.publish(
             f"simulator_truth{vid}",
             msgs.SimulatorTruth(
@@ -655,44 +743,43 @@ class OrchardBridge:
         )
 
         # ---- planner_diagnostics (per frame = per depth image) ----
-        import types
-
+        planned = row["planned"]
+        # host traj shim (orchard_env._planned_as_traj builds a device
+        # const per call; plan_result_to_diagnostics only reads fields)
+        traj_shim = types.SimpleNamespace(
+            alpha=planned.alpha, beta=planned.beta, gamma=planned.gamma,
+            a0=planned.a0, v0=planned.v0, p0=planned.p0, tf=planned.tf)
         res_shim = types.SimpleNamespace(  # PlanResult's consumed fields
-            found=bool(np.asarray(outs["plan_found"])),
-            traj=self._oe._planned_as_traj(s.planned),
-            num_collision_free=int(np.asarray(outs["num_collision_free"])),
-            num_pyramids=int(np.asarray(outs["num_pyramids"])),
-            num_velocity_admissible=int(np.asarray(outs["num_velocity_admissible"])),
-            num_feasible=int(np.asarray(outs["num_feasible"])),
+            found=bool(row["plan_found"]),
+            traj=traj_shim,
+            num_collision_free=int(row["num_collision_free"]),
+            num_pyramids=int(row["num_pyramids"]),
+            num_velocity_admissible=int(row["num_velocity_admissible"]),
+            num_feasible=int(row["num_feasible"]),
             num_candidates=p.n_candidates,
         )
         diag = plan_result_to_diagnostics(
             res_shim, seed=self.frame_count,
-            vel_cam=outs["plan_vel_cam"], acc_cam=outs["plan_acc_cam"],
-            grav_cam=outs["plan_grav_cam"], goal_world=outs["goal_world"],
-            reset_time=int(s.planned.start_step) * dt_us * 1e-6, stamp=t,
+            vel_cam=row["plan_vel_cam"], acc_cam=row["plan_acc_cam"],
+            grav_cam=row["plan_grav_cam"], goal_world=row["goal_world"],
+            reset_time=int(planned.start_step) * dt_us * 1e-6, stamp=t,
         )
         diag.output.trajectory_transform = msgs.Transform(
-            translation=tuple(np.asarray(s.planned.offset, np.float64)),
-            rotation=tuple(np.asarray(s.planned.att, np.float64)),
+            translation=tuple(np.asarray(planned.offset, np.float64)),
+            rotation=tuple(np.asarray(planned.att, np.float64)),
         )
         self.bus.publish(f"planner_diagnostics{vid}", diag)
 
         # ---- controller_diagnostics (tracking snapshot at frame end) ----
-        est_pos, est_vel, est_att, _ = estimators.mocap_get_prediction(
-            s.base.mocap, jnp.int32(now_us), p.base.est_latency_us
-        )
-        refs = self._oe._tracking_refs(p, s.planned, s.base.step)
-        ref_pos, ref_vel, ref_acc, ref_thrust, ref_angvel_w = refs
-        ref_angvel_b = _rotate_back_jit(jnp.asarray(est_att), ref_angvel_w)
-        traj_time = (int(s.base.step) - int(s.planned.start_step)) * dt_us * 1e-6
+        traj_time = (int(row["step"]) - int(planned.start_step)) * dt_us * 1e-6
         cdiag = controller_diagnostics(
-            est_pos, est_vel, est_att,
-            traj_id=int(s.plan_count), traj_time=traj_time,
-            ref_pos=ref_pos, ref_vel=ref_vel, ref_acc=ref_acc,
-            ref_angvel_b=ref_angvel_b, ref_thrust=float(ref_thrust),
-            cmd_angvel_b=s.base.last_cmd_angvel,
-            cmd_thrust=float(s.base.last_cmd_thrust),
+            row["est_pos"], row["est_vel"], row["est_att"],
+            traj_id=int(row["plan_count"]), traj_time=traj_time,
+            ref_pos=row["ref_pos"], ref_vel=row["ref_vel"],
+            ref_acc=row["ref_acc"], ref_angvel_b=row["ref_angvel_b"],
+            ref_thrust=float(row["ref_thrust"]),
+            cmd_angvel_b=row["last_cmd_angvel"],
+            cmd_thrust=float(row["last_cmd_thrust"]),
             batt=float(p.base.logic.batt_critical) * 1.2, stamp=t,
         )
         self.bus.publish(f"controller_diagnostics{vid}", cdiag)

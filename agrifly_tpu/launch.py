@@ -147,8 +147,7 @@ def main(argv=None):
             if jsv.buttonStart and not armed:
                 armed = True
                 ob.params = make_params(int(ob.state.base.step) + 1)
-                ob._frame = jax.jit(
-                    lambda s: orchard_env.frame_step(ob.params, s))
+                ob._fly_blocks = {}  # re-jit against the armed params
                 print(f"t={t:6.2f}s ARMED — mission start (start button)")
             if jsv.buttonRed and not killed:
                 killed = True

@@ -522,6 +522,45 @@ def fly_fleet(params: OrchardEnvParams, s: OrchardEnvState, n_frames: int):
     return jax.lax.scan(body, s, None, length=n_frames)
 
 
+def _diag_extras(params: OrchardEnvParams, s: OrchardEnvState) -> dict:
+    """Per-frame extras for the topic bridge: everything OrchardBridge
+    publishes that isn't already in _frame_outputs — the planned-traj
+    subtree, the controller-diagnostics snapshot (mocap prediction +
+    tracking refs, ExampleVehicleStateMachine.cpp:666-696), and the last
+    wire command. Same device math the bridge's per-frame path ran."""
+    from agrifly_tpu.offboard import estimators
+
+    p = params.base
+    now_us = s.base.step * p.dt_us
+    est_pos, est_vel, est_att, _ = estimators.mocap_get_prediction(
+        s.base.mocap, now_us, p.est_latency_us)
+    ref_pos, ref_vel, ref_acc, ref_thrust, ref_angvel_w = _tracking_refs(
+        params, s.planned, s.base.step)
+    return dict(
+        step=s.base.step, planned=s.planned, plan_count=s.plan_count,
+        est_pos=est_pos, est_vel=est_vel, est_att=est_att,
+        ref_pos=ref_pos, ref_vel=ref_vel, ref_acc=ref_acc,
+        ref_thrust=ref_thrust,
+        ref_angvel_b=rot.rotate_back(est_att, ref_angvel_w),
+        last_cmd_thrust=s.base.last_cmd_thrust,
+        last_cmd_angvel=s.base.last_cmd_angvel,
+    )
+
+
+def fly_diag(params: OrchardEnvParams, s: OrchardEnvState, n_frames: int):
+    """fly() with bridge-grade outputs: each frame's stacked outs carry
+    the full topic surface (truth + planner diagnostics inputs + the
+    controller snapshot + the planned-traj subtree), so the topic bridge
+    can fly a whole block in ONE jit call and publish every frame from
+    the stacked rows (io/bridge.OrchardBridge.fly_frames_block)."""
+
+    def body(carry, _):
+        s2, outs = frame_step(params, carry)
+        return s2, dict(outs, **_diag_extras(params, s2))
+
+    return jax.lax.scan(body, s, None, length=n_frames)
+
+
 def fly(params: OrchardEnvParams, s: OrchardEnvState, n_frames: int):
     """Scan frame_step. Returns (state, stacked frame outputs).
 
