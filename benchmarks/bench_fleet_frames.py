@@ -19,6 +19,8 @@ def main(argv):
     img = argv[argv.index("--image") + 1] if "--image" in argv else "640x480"
     w, h = (int(x) for x in img.split("x"))
     fused = "--fused" in argv
+    sizes = ([int(x) for x in argv[argv.index("--sizes") + 1].split(",")]
+             if "--sizes" in argv else [16, 64])
 
     import jax
     import jax.numpy as jnp
@@ -30,7 +32,7 @@ def main(argv):
         width=w, height=h, use_pallas=on_tpu, fused_ticks=fused)
     frame_time = params.steps_per_frame * float(params.base.dt_us) * 1e-6
 
-    for fleet in (16, 64):
+    for fleet in sizes:
         keys = jax.random.split(jax.random.PRNGKey(0), fleet)
         lanes = (jnp.arange(fleet, dtype=jnp.float32) - (fleet - 1) / 2.0) * 3.0
         spawns = jnp.stack([jnp.zeros(fleet), lanes, jnp.zeros(fleet)], axis=1)
