@@ -42,18 +42,7 @@ def _teleop_loop(args, params, orchard_env, onboard):
     from agrifly_tpu.io import teleop
     from agrifly_tpu.sim import delayline
 
-    if args.teleop == "keyboard":
-        js = teleop.KeyboardJoystick()
-    elif args.teleop == "joystick":
-        js = teleop.LinuxJoystick()
-    elif args.teleop.startswith("scripted:"):
-        presses = []
-        for part in args.teleop[len("scripted:"):].split(","):
-            t_s, name = part.split(":")
-            presses.append((float(t_s), name))
-        js = teleop.ScriptedJoystick(presses)
-    else:
-        raise SystemExit(f"unknown --teleop mode: {args.teleop}")
+    js = teleop.make(args.teleop)
 
     # Fly BLK frames per jit call (the scanned fly block, fused tick
     # kernel inside on TPU) and poll the operator between blocks: the
@@ -162,20 +151,7 @@ def _realtime_loop(args):
     br = bridge_mod.SimBridge(params, vehicle_id=1, seed=args.seed)
     mon = monitor_mod.VehicleMonitor(br.bus, 1, use_sim_time=False)
 
-    js = None
-    if args.teleop:
-        if args.teleop == "keyboard":
-            js = teleop_mod.KeyboardJoystick()
-        elif args.teleop == "joystick":
-            js = teleop_mod.LinuxJoystick()
-        elif args.teleop.startswith("scripted:"):
-            presses = []
-            for part in args.teleop[len("scripted:"):].split(","):
-                t_s, name = part.split(":")
-                presses.append((float(t_s), name))
-            js = teleop_mod.ScriptedJoystick(presses)
-        else:
-            raise SystemExit(f"unknown --teleop mode: {args.teleop}")
+    js = teleop_mod.make(args.teleop) if args.teleop else None
 
     ground = env_mod.hover_command(des_pos=(0.0, 0.0, 0.0))
     hover = env_mod.hover_command(des_pos=(0.0, 0.0, 1.5))
@@ -224,6 +200,93 @@ def _realtime_loop(args):
     return 0 if ok else 1
 
 
+def _realtime_orchard_loop(args, params):
+    """Wall-clock-paced full perception-plan-act loop
+    (OrchardBridge.run_realtime): the reference's real-time pacing
+    (Simulator/main.cpp:231,310) applied to the RAPPIDS pipeline — which
+    the reference itself can only run lockstep (sync_simulator waits on
+    AirSim images). Frames are paced at the params' own frame rate
+    (31.25 Hz at reference cadences, or --rate/16), the topic surface
+    publishes live, and --teleop polls each quantum: start arms the
+    mission, red kills through the radio wire."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from agrifly_tpu.io import bridge as bridge_mod
+    from agrifly_tpu.io import messages as msgs
+    from agrifly_tpu.io import radio as radio_codec
+    from agrifly_tpu.io import teleop as teleop_mod
+    from agrifly_tpu.models import logic as onboard
+
+    js = teleop_mod.make(args.teleop) if args.teleop else None
+    # operator-armed missions hold planning until the start button
+    if js is not None:
+        params = params._replace(start_flight_step=jnp.int32(2 ** 30))
+    ob = bridge_mod.OrchardBridge(params, vehicle_id=1, seed=args.seed,
+                                  publish_images=False)
+    frame_hz = 1e6 / (float(params.base.dt_us) * int(params.steps_per_frame))
+    # --rate is the TICK rate (reference 500 Hz); frames pace at
+    # rate / steps_per_frame (31.25 Hz at reference cadences)
+    rate = float(args.rate) / int(params.steps_per_frame)
+    # quantum size: through the TPU tunnel one read+dispatch round costs
+    # ~33 ms — over the 32 ms single-frame budget — so TPU paces 2-frame
+    # quanta (64 ms budget; measured 0 late quanta at full rate) while
+    # CPU keeps per-frame operator granularity
+    block = 2 if jax.devices()[0].platform != "cpu" else 1
+    ctl = {"armed": js is None, "killed": False}
+    vid = ob.vehicle_id
+    quanta_per_s = max(1, int(round(rate / block)))
+
+    def on_quantum(b, k):
+        t = k * block / rate
+        if js is not None:
+            jsv = js.poll(t)
+            if jsv.buttonStart and not ctl["armed"]:
+                ctl["armed"] = True
+                # start_flight_step is traced in the block jit — the arm
+                # is recompile-free (no stall inside the paced region)
+                b.params = b.params._replace(
+                    start_flight_step=jnp.int32(
+                        int(b.last_outs["step"][-1]) + 1))
+                print(f"t={t:6.2f}s ARMED — mission start (start button)")
+            if jsv.buttonRed and not ctl["killed"]:
+                ctl["killed"] = True
+                raw = radio_codec.fields_to_bytes(
+                    *radio_codec.make_kill_command())
+                b.bus.publish(f"radio_command{vid}",
+                              msgs.RadioCommand(raw=raw))
+                print(f"t={t:6.2f}s KILL — emergency-kill on the radio "
+                      f"(red button)")
+        if k % quanta_per_s == 0:
+            row = jax.tree_util.tree_map(lambda x: x[-1], b.last_outs)
+            pos = np.asarray(row["pos"])
+            panic = int(row["panic"])
+            print(f"[{t:5.1f}s wall] t_sim={int(row['step']) * 0.002:6.2f}s "
+                  f"pos=({pos[0]:7.2f},{pos[1]:6.2f},{pos[2]:5.2f}) "
+                  f"fs={int(row['flight_state'])} "
+                  f"panic={onboard.PANIC_REASON_NAMES.get(panic, panic)} "
+                  f"plans={int(row['plan_count'])}")
+
+    print(f"realtime orchard sim: {rate:.2f} Hz frame pacing "
+          f"(nominal {frame_hz:.2f}), {block} frames/quantum, "
+          f"duration {args.duration}s"
+          + (f", teleop {args.teleop}" if js else ""))
+    report = ob.run_realtime(args.duration, rate_hz=rate, block=block,
+                             on_quantum=on_quantum)
+    if js is not None and hasattr(js, "close"):
+        js.close()
+    ok = all(report["bands_ok"].values())
+    print(f"achieved {report['achieved_frame_hz']:.2f} Hz frames "
+          f"(target {rate:.2f}), late {report['late_quanta']}/"
+          f"{report['n_quanta']} quanta "
+          f"(max {report['max_late_s'] * 1e3:.2f} ms)")
+    print("topic rates (wall): " + "  ".join(
+        f"{k}={v:.2f}Hz" for k, v in report["topic_hz"].items()))
+    print("bands " + ("OK" if ok else "VIOLATED") + f": {report['bands_ok']}")
+    return 0 if ok else 1
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--frames", type=int, default=300)
@@ -266,6 +329,14 @@ def main(argv=None):
                          "mission is NOT auto-started: the start button "
                          "arms it; the red button sends an emergency-kill "
                          "through the real radio codec + delay line")
+    ap.add_argument("--realtime-orchard", action="store_true",
+                    help="wall-clock real-time FULL perception-plan-act "
+                         "loop (OrchardBridge.run_realtime): frames paced "
+                         "at --rate/steps_per_frame Hz (31.25 at the "
+                         "reference 500 Hz), live topic surface + status "
+                         "line; combine with --teleop (start arms, red "
+                         "kills). The reference can only run this "
+                         "pipeline lockstep")
     ap.add_argument("--realtime", action="store_true",
                     help="wall-clock real-time sim (Simulator/main.cpp "
                          "HardwareTimer + ros::Rate(500) parity): pace "
@@ -340,6 +411,8 @@ def main(argv=None):
         # ride the kernel as well. Fleets vmap frame_step.
         fused_ticks=(on_tpu and max(1, args.fleet) == 1),
     )
+    if args.realtime_orchard:
+        return _realtime_orchard_loop(args, params)
     if args.record:
         # rosbag_record_airsim.sh workflow: drive the orchard loop through
         # the topic bridge and bus-record everything it publishes
@@ -362,15 +435,17 @@ def main(argv=None):
         t_wall = time.perf_counter()
         for b in range(max(1, args.frames // BLK)):
             ob.fly_frames_block(BLK)
-            st = ob.state
-            if int(st.base.logic.panic_reason) != 0:
+            # status from the block's own output rows — reading ob.state
+            # here would unpack the packed carry every block
+            outs = ob.last_outs
+            if int(outs["panic"][-1]) != 0:
                 print("PANIC — aborting")
                 break
             if ((b + 1) * BLK) % 32 < BLK:
-                pos = np.asarray(st.base.plant.pos)
-                print(f"t={int(st.base.step) * 0.002:6.2f}s "
+                pos = outs["pos"][-1]
+                print(f"t={int(outs['step'][-1]) * 0.002:6.2f}s "
                       f"pos=({pos[0]:7.2f},{pos[1]:6.2f},{pos[2]:5.2f}) "
-                      f"plans={int(st.plan_count)}")
+                      f"plans={int(outs['plan_count'][-1])}")
         rec.close()
         wall = time.perf_counter() - t_wall
         sim_s = int(ob.state.base.step) * 0.002

@@ -535,9 +535,15 @@ class OrchardBridge:
 
     frame() publishes one frame at a time; fly_frames_block(n) flies n
     frames in ONE jit (orchard_env.fly_diag) and publishes every frame
-    from the stacked outputs — on TPU the per-call ~35 ms host dispatch
-    of the 126-leaf state amortizes over the block, and params can keep
-    fused_ticks=True (the kernel is embedded in the scanned jit)."""
+    from the stacked outputs — on TPU the per-call host dispatch of the
+    126-leaf state amortizes over the block, and params can keep
+    fused_ticks=True (the kernel is embedded in the scanned jit). The
+    block path is SYNCED (it reads the outputs matrix every call), so the
+    state rides the boundary packed as ONE uint32 buffer (io/packbuf,
+    donated carry): per-leaf arg submission costs ~54 µs/leaf on a synced
+    call (bench_packbuf: 83.2 -> 77.8 ms at 31-frame blocks). `state` is
+    a lazy property — reading it between blocks unpacks on device once
+    and caches until the next block."""
 
     def __init__(self, params, vehicle_id=1, seed=0, bus: TopicBus | None = None,
                  publish_images=True, publish_rgb=None, image_downsample=1,
@@ -549,7 +555,12 @@ class OrchardBridge:
         self.params = params
         self.vehicle_id = int(vehicle_id)
         self.bus = bus if bus is not None else TopicBus()
-        self.state = orchard_env.init_state(params, jax.random.PRNGKey(seed))
+        # packed-carry invariants: when _packed is not None it is the
+        # authoritative state (one uint32 carrier held on device between
+        # blocks); _state is a cache materialized on property access.
+        self._packed = None
+        self._packer = None
+        self._state = orchard_env.init_state(params, jax.random.PRNGKey(seed))
         self.frame_count = 0
         # inbound radio_command{id} -> onboard delay line (sync_simulator's
         # radio subscriber, SyncSimulator/main.cpp:101-118): an external
@@ -557,10 +568,6 @@ class OrchardBridge:
         # codec + 30 ms wire even while the autonomous mission flies
         self._pending_radio: collections.deque = collections.deque()
         self.bus.subscribe(f"radio_command{self.vehicle_id}", self._on_radio)
-        self._push_radio = jax.jit(
-            lambda ring, mtype, mflags, fields, step: delayline.push(
-                ring, jnp.int32(mtype), jnp.int32(mflags),
-                jnp.asarray(fields), step, jnp.bool_(True)))
         self.publish_images = bool(publish_images)
         # RGB pass exists for the procedural world (render/raycast.render_rgb)
         # and imported mesh worlds (render/meshscene.render_rgb)
@@ -604,6 +611,46 @@ class OrchardBridge:
             self._render_rgb = jax.jit(render_rgb)
         self._fly_blocks: Dict[int, Callable] = {}
 
+    @property
+    def state(self):
+        """The live OrchardEnvState. Between fly_frames_block calls the
+        authoritative state is the packed carrier; first access after a
+        block unpacks it on device (one jit call) and caches."""
+        if self._state is None:
+            self._state = self._unpack_jit(*self._packed)
+        return self._state
+
+    @state.setter
+    def state(self, s):
+        self._state = s
+        self._packed = None  # host-side mutation supersedes the carrier
+
+    def _ensure_packer(self):
+        if self._packer is None:
+            from agrifly_tpu.io import packbuf
+
+            self._packer = packbuf.Packer(self.state)
+            self._unpack_jit = jax.jit(
+                lambda *bufs: self._packer.unpack(bufs))
+            # host-side state mutations (radio injection) re-enter the
+            # carrier through ONE jit, not 126 eager dispatches
+            self._pack_jit = jax.jit(lambda s: self._packer.pack(s))
+
+            # radio injection in the packed domain: unpack -> ring push ->
+            # repack inside ONE jit on the donated carrier (no state
+            # materialization on the kill path)
+            def _push_packed(mtype, mflags, fields, *bufs):
+                s = self._packer.unpack(bufs)
+                ring = delayline.push(
+                    s.base.ring, jnp.int32(mtype), jnp.int32(mflags),
+                    jnp.asarray(fields), s.base.step, jnp.bool_(True))
+                return self._packer.pack(
+                    s._replace(base=s.base._replace(ring=ring)))
+
+            self._push_packed_jit = jax.jit(
+                _push_packed, donate_argnums=tuple(
+                    3 + i for i in range(self._packer.n_buffers)))
+
     def fly_frames(self, n: int, block: int = 1):
         """Fly n frames; block > 1 dispatches `block` frames per jit call
         (fly_frames_block) — the fast path for recording on TPU."""
@@ -616,6 +663,111 @@ class OrchardBridge:
             b = min(block, n - done)
             self.fly_frames_block(b)
             done += b
+
+    def run_realtime(self, duration_s: float, rate_hz: float | None = None,
+                     block: int = 1, on_quantum: Callable | None = None):
+        """Wall-clock-paced full perception-plan-act loop — the
+        reference's real-time simulator pacing (HardwareTimer +
+        ros::Rate, AIFS_ROS Simulator/main.cpp:231,310) applied to the
+        RAPPIDS pipeline workload the lockstep demo flies: render → plan
+        → track in the loop, topic surface per frame, paced against the
+        wall clock. The reference can only run this pipeline lockstep
+        (sync_simulator waits on AirSim images); on TPU a 640×480/256
+        frame costs ~1.6 ms compute + one synced packed dispatch, far
+        under the 32 ms frame budget, so the whole pipeline runs at
+        true wall-clock rate.
+
+        One scheduling quantum = `block` frames flown in ONE jit call
+        (packed donated carry, one outputs-matrix readback), then sleep
+        until the ABSOLUTE deadline t0 + k*block/rate_hz — drift-free; a
+        late quantum shortens the next sleep instead of shifting later
+        deadlines. The loop is PIPELINED one quantum deep: quantum k
+        reads and publishes block k-1's outputs, then dispatches block k
+        — the in-flight block's compute hides behind the sleep, so the
+        per-quantum wall cost is one device read + host publishes, not a
+        full synced round trip (through the TPU tunnel a synced call
+        costs ~28 ms — marginal at the 32 ms frame budget). Consequences:
+        the topic surface lags real time by one quantum, and an operator
+        command (radio kill) injected in on_quantum lands two quanta
+        later — both bounded and analogous to the reference's transport
+        latency (30 ms radio wire + ROS queues).
+
+        rate_hz defaults to the params' own frame rate (1e6 / (dt_us *
+        steps_per_frame); 31.25 Hz at reference cadences). Reduce it on
+        slow hosts — sim-time topic cadences then scale by
+        rate_hz/nominal. `on_quantum(bridge, k)` runs after quantum k's
+        publishes (the teleop/monitor hook; an injected radio command
+        reaches the onboard FSM in the next quantum's block).
+
+        Returns a report dict mirroring SimBridge.run_realtime: achieved
+        frame rate, lateness stats, wall-clock topic rates, and in-band
+        checks (the per-frame topics — truth, planner/controller
+        diagnostics — must hold the frame rate within ±10%)."""
+        import time as _time
+
+        block = max(1, int(block))
+        nominal_hz = 1e6 / (float(self.params.base.dt_us)
+                            * int(self.params.steps_per_frame))
+        rate = float(rate_hz) if rate_hz is not None else nominal_hz
+        period = block / rate
+
+        # compile + warm outside the paced region (the reference node
+        # likewise only promises its rate once running); the radio
+        # injection jit (packed-domain ring push) warms on a THROWAWAY
+        # copy of the carrier — it donates its inputs and must not
+        # consume the authoritative one. No state change anywhere.
+        self.fly_frames_block(block)
+        st = self.state  # materializes (warms _unpack_jit + _pack_jit)
+        self._push_packed_jit(0, 0, np.zeros(radio_codec.NUM_FIELDS,
+                                             np.int32),
+                              *self._pack_jit(st))
+        counts0 = dict(self.bus.counts)
+        frames0 = self.frame_count
+        n_quanta = max(1, int(round(duration_s * rate / block)))
+        late = 0
+        max_late = 0.0
+        pending = None
+        t0 = _time.perf_counter()
+        for k in range(1, n_quanta + 1):
+            if pending is not None:
+                self._publish_block(pending)  # block k-1's topic surface
+            pending = self._dispatch_block(block)  # block k in flight
+            if on_quantum is not None:
+                on_quantum(self, k)
+            deadline = t0 + k * period
+            now = _time.perf_counter()
+            if now < deadline:
+                _time.sleep(deadline - now)
+            else:
+                late += 1
+                max_late = max(max_late, now - deadline)
+        self._publish_block(pending)  # the final in-flight block
+        wall = _time.perf_counter() - t0
+
+        vid = self.vehicle_id
+        topic_hz = {}
+        for name, topic in (("truth", f"simulator_truth{vid}"),
+                            ("planner", f"planner_diagnostics{vid}"),
+                            ("controller", f"controller_diagnostics{vid}"),
+                            ("depth", f"depthImage{vid}")):
+            topic_hz[name] = (self.bus.counts.get(topic, 0)
+                              - counts0.get(topic, 0)) / wall
+        bands_ok = {}
+        for name in ("truth", "planner", "controller"):
+            bands_ok[name] = bool(
+                0.9 * rate <= topic_hz[name] <= 1.1 * rate)
+        return {
+            "frames": self.frame_count - frames0,
+            "wall_s": wall,
+            "target_frame_hz": rate,
+            "achieved_frame_hz": (self.frame_count - frames0) / wall,
+            "late_quanta": late,
+            "n_quanta": n_quanta,
+            "max_late_s": max_late,
+            "rate_scale": rate / nominal_hz,
+            "topic_hz": topic_hz,
+            "bands_ok": bands_ok,
+        }
 
     def _publish_images(self, pos, att, stamp, seq):
         """Publish the image topics for ONE frame, rendered from its
@@ -656,17 +808,20 @@ class OrchardBridge:
         Image topics render from each frame's PRE-frame pose (row i-1's
         end pose) through the same batch kernel frame_step used — the
         published depth stays the planner's input bit-for-bit."""
-        while self._pending_radio:
-            raw = self._pending_radio.popleft()
-            mtype, mflags, fields = radio_codec.bytes_to_fields(raw)
-            self.state = self.state._replace(base=self.state.base._replace(
-                ring=self._push_radio(self.state.base.ring, mtype, mflags,
-                                      fields, self.state.base.step)))
+        self._publish_block(self._dispatch_block(n))
 
+    def _dispatch_block(self, n: int):
+        """Inject pending radio commands into the packed carrier, then
+        dispatch one n-frame fly_diag block. Returns an opaque pending
+        record for _publish_block — the outputs matrix is still in
+        flight, nothing is read. The split lets a paced loop read block
+        k-1's outputs while block k computes (run_realtime)."""
+        self._ensure_packer()
         entry = self._fly_blocks.get(n)
         if entry is None:
             params = self.params
             oe = self._oe
+            packer = self._packer
 
             # the stacked outputs ride home as ONE (n, D) f32 matrix: a
             # per-leaf device_get costs a tunnel round trip per leaf and
@@ -677,26 +832,56 @@ class OrchardBridge:
             leaves_aval, treedef = jax.tree_util.tree_flatten(aval)
             specs = [(tuple(l.shape), l.dtype) for l in leaves_aval]
 
-            def blk(s):
-                s2, outs = oe.fly_diag(params, s, n)
+            # state crosses packed both ways (donated carry); this call is
+            # synced (the outs matrix is read every block), so per-leaf
+            # arg dispatch would cost ~54 µs/leaf through the tunnel.
+            # start_flight_step is TRACED (it only feeds jnp step
+            # comparisons) so a teleop arm — which just moves the start
+            # step — never recompiles inside a paced/operator loop.
+            def blk(start_step, *bufs):
+                p = params._replace(start_flight_step=start_step)
+                s2, outs = oe.fly_diag(p, packer.unpack(bufs), n)
                 leaves = jax.tree_util.tree_leaves(outs)
                 packed = jnp.concatenate(
                     [jnp.asarray(l).reshape(n, -1).astype(jnp.float32)
                      for l in leaves], axis=1)
-                return s2, packed
+                return packer.pack(s2), packed
 
-            entry = self._fly_blocks[n] = (jax.jit(blk), treedef, specs)
+            entry = self._fly_blocks[n] = (
+                jax.jit(blk, donate_argnums=tuple(
+                    1 + i for i in range(packer.n_buffers))),
+                treedef, specs)
         fn, treedef, specs = entry
-        pre_pos = np.asarray(self.state.base.plant.pos)
-        pre_att = np.asarray(self.state.base.plant.att)
-        s, packed = fn(self.state)
-        self.state = s
+        pre_pos = pre_att = None
+        if self.publish_images:  # pre-frame pose (materializes the state)
+            pre_pos = np.asarray(self.state.base.plant.pos)
+            pre_att = np.asarray(self.state.base.plant.att)
+        bufs = (self._packed if self._packed is not None
+                else self._pack_jit(self.state))
+        while self._pending_radio:
+            raw = self._pending_radio.popleft()
+            mtype, mflags, fields = radio_codec.bytes_to_fields(raw)
+            bufs = self._push_packed_jit(mtype, mflags, fields, *bufs)
+            self._state = None  # the carrier diverged from any cache
+        start = jnp.asarray(self.params.start_flight_step, jnp.int32)
+        self._packed, packed = fn(start, *bufs)
+        self._state = None  # materialized lazily on next access
+        return (n, packed, treedef, specs, pre_pos, pre_att)
+
+    def _publish_block(self, pending):
+        """Block on a dispatched block's outputs matrix (ONE transfer) and
+        publish every frame's topic set from the stacked rows."""
+        n, packed, treedef, specs, pre_pos, pre_att = pending
         mat = np.asarray(packed)  # single transfer
         sizes = [int(np.prod(sh[1:], dtype=np.int64)) for sh, _ in specs]
         cols = np.split(mat, np.cumsum(sizes)[:-1], axis=1)
         outs = jax.tree_util.tree_unflatten(treedef, [
             c.reshape((n,) + sh[1:]).astype(dt)
             for c, (sh, dt) in zip(cols, specs)])
+        # host status without materializing the state: callers read flight
+        # status from the block's own output rows (one transfer already
+        # paid) instead of touching the `state` property every block
+        self.last_outs = outs
 
         if self.publish_images:
             # pre-frame pose of frame i = end pose of frame i-1

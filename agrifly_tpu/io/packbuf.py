@@ -122,6 +122,25 @@ class Packer:
             leaves.append(leaf)
         return jax.tree_util.tree_unflatten(self.treedef, leaves)
 
+    def unpack_np(self, buffers):
+        """Host-side unpack: numpy carrier buffers -> tree of numpy VIEWS
+        (zero-copy reinterpret; bools materialize). One np.asarray(buf)
+        device read gives the whole state — per-leaf device_get through
+        the tunnel costs a round trip per leaf."""
+        if len(buffers) != len(self.group_order):
+            raise ValueError(
+                f"got {len(buffers)} buffers, expected {len(self.group_order)}")
+        bufs = {g: np.asarray(b) for g, b in zip(self.group_order, buffers)}
+        leaves = []
+        for spec in self.specs:
+            flat = bufs[spec.itemsize][spec.offset:spec.offset + spec.size]
+            if spec.dtype == np.bool_:
+                leaf = (flat != 0).reshape(spec.shape)
+            else:
+                leaf = flat.view(spec.dtype).reshape(spec.shape)
+            leaves.append(leaf)
+        return jax.tree_util.tree_unflatten(self.treedef, leaves)
+
     def wrap_step(self, fn):
         """Lift `state -> state` (or `state -> (state, aux)`) to operate on
         packed buffers: `(*bufs) -> (*bufs)` or `(*bufs) -> ((*bufs), aux)`.

@@ -29,6 +29,23 @@ KEY_BINDINGS = {
 RATE_HZ = 100
 
 
+def make(spec: str):
+    """Operator front-end from a CLI spec: 'keyboard', 'joystick', or
+    'scripted:T:BUTTON,...' (e.g. 'scripted:0.5:buttonStart,3:buttonRed').
+    The one parser behind every --teleop flag (demo, launch)."""
+    if spec == "keyboard":
+        return KeyboardJoystick()
+    if spec == "joystick":
+        return LinuxJoystick()
+    if spec.startswith("scripted:"):
+        presses = []
+        for part in spec[len("scripted:"):].split(","):
+            t_s, name = part.split(":")
+            presses.append((float(t_s), name))
+        return ScriptedJoystick(presses)
+    raise SystemExit(f"unknown --teleop mode: {spec}")
+
+
 class ScriptedJoystick:
     """Deterministic joystick: a list of (time_s, button_name) presses."""
 

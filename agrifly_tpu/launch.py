@@ -36,17 +36,7 @@ import time
 def _make_teleop(spec):
     from agrifly_tpu.io import teleop as teleop_mod
 
-    if spec == "keyboard":
-        return teleop_mod.KeyboardJoystick()
-    if spec == "joystick":
-        return teleop_mod.LinuxJoystick()
-    if spec.startswith("scripted:"):
-        presses = []
-        for part in spec[len("scripted:"):].split(","):
-            t_s, name = part.split(":")
-            presses.append((float(t_s), name))
-        return teleop_mod.ScriptedJoystick(presses)
-    raise SystemExit(f"unknown --teleop mode: {spec}")
+    return teleop_mod.make(spec)
 
 
 def main(argv=None):
@@ -140,14 +130,20 @@ def main(argv=None):
 
     t_wall = time.perf_counter()
     rc = 0
+    spf = int(params.steps_per_frame)
+    last_step = 0
     for b in range(args.frames):
-        t = float(int(ob.state.base.step)) * dt
+        # status rides the block's own host outputs (ob.last_outs) —
+        # touching ob.state here would unpack the packed carry per frame
+        t = float(last_step) * dt
         if js is not None:
             jsv = js.poll(t)
             if jsv.buttonStart and not armed:
                 armed = True
-                ob.params = make_params(int(ob.state.base.step) + 1)
-                ob._fly_blocks = {}  # re-jit against the armed params
+                # start_flight_step is traced in the bridge's block jit:
+                # arming moves the scalar, no re-jit
+                ob.params = ob.params._replace(
+                    start_flight_step=jnp.int32(last_step + 1))
                 print(f"t={t:6.2f}s ARMED — mission start (start button)")
             if jsv.buttonRed and not killed:
                 killed = True
@@ -161,21 +157,22 @@ def main(argv=None):
                 print(f"t={t:6.2f}s KILL — emergency-kill on the radio "
                       f"(red button)")
         ob.frame()
-        st = ob.state
-        fs = int(st.base.logic.fs)
+        row = jax.tree_util.tree_map(lambda x: x[-1], ob.last_outs)
+        last_step = int(row["step"])
+        fs = int(row["flight_state"])
         if (b + 1) % 31 == 0 or fs == onboard.FS_KILLED:
-            pos = np.asarray(st.base.plant.pos)
+            pos = np.asarray(row["pos"])
             print(f"[{t:6.2f}s] {mon.render(now=t)}  "
                   f"pos=({pos[0]:6.2f},{pos[1]:5.2f},{pos[2]:4.2f}) "
-                  f"plans={int(st.plan_count)}")
+                  f"plans={int(row['plan_count'])}")
         if fs == onboard.FS_KILLED:
             print("vehicle KILLED — motors off")
             break
-        if int(st.base.logic.panic_reason) != 0:
-            print(f"PANIC: {onboard.PANIC_REASON_NAMES.get(int(st.base.logic.panic_reason))}")
+        if int(row["panic"]) != 0:
+            print(f"PANIC: {onboard.PANIC_REASON_NAMES.get(int(row['panic']))}")
             rc = 1
             break
-        if int(st.mstage) == 2:
+        if int(row["mstage"]) == 2:
             print("landed — mission complete")
             break
     wall = time.perf_counter() - t_wall

@@ -538,6 +538,7 @@ def _diag_extras(params: OrchardEnvParams, s: OrchardEnvState) -> dict:
         params, s.planned, s.base.step)
     return dict(
         step=s.base.step, planned=s.planned, plan_count=s.plan_count,
+        mstage=s.mstage, waypoint_idx=s.waypoint_idx,
         est_pos=est_pos, est_vel=est_vel, est_att=est_att,
         ref_pos=ref_pos, ref_vel=ref_vel, ref_acc=ref_acc,
         ref_thrust=ref_thrust,

@@ -110,7 +110,12 @@ def _get_call(params, treedef, specs, n_ticks, interpret):
     noise_aval = jax.ShapeDtypeStruct((n_ticks, 3), jnp.float32)
     with estimators.replay_static_unroll():
         closed = jax.make_jaxpr(loop)(leaf_avals, noise_aval, noise_aval)
-    consts = [np.asarray(c) for c in closed.consts]
+    # a captured const may be a TRACER of the enclosing jit trace (the
+    # topic bridge passes start_flight_step as a traced argument so a
+    # teleop arm never recompiles the paced loop); consts already enter
+    # the pallas_call as ordinary inputs, so a traced one rides the same
+    # slot — only the host-side numpy packing must not touch it
+    consts = list(closed.consts)
     const_specs = tuple((tuple(c.shape), jnp.dtype(c.dtype)) for c in consts)
 
     def kernel(*refs):
@@ -143,16 +148,23 @@ def _get_call(params, treedef, specs, n_ticks, interpret):
         out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * len(specs),
         interpret=interpret,
     )
-    # keep consts as NUMPY in the closure: jnp arrays materialized during
-    # the first outer-jit trace would leak that trace's tracers into the
-    # cache (np converts to on-device constants at each trace, free)
-    def _pack_np(x):
+    # keep concrete consts as NUMPY in the closure: jnp arrays
+    # materialized during the first outer-jit trace would leak that
+    # trace's tracers into the cache (np converts to on-device constants
+    # at each trace, free). A tracer const is packed with jnp ops in its
+    # own trace — the cache guard (`hit[0] is params`) confines the entry
+    # to the params instance built inside that same trace.
+    def _pack_const(x):
+        if isinstance(x, jax.core.Tracer):
+            if x.dtype == jnp.bool_:
+                x = x.astype(jnp.int32)
+            return x.reshape(_canon_shape(x.shape))
         x = np.asarray(x)
         if x.dtype == np.bool_:
             x = x.astype(np.int32)
         return x.reshape(_canon_shape(x.shape))
 
-    packed_consts = [_pack_np(c) for c in consts]
+    packed_consts = [_pack_const(c) for c in consts]
 
     def call(packed_leaves, noise_g, noise_a):
         return call_(*packed_consts, noise_g, noise_a, *packed_leaves)
@@ -215,6 +227,12 @@ def _launder_batched_trace(params, treedef, specs, n_ticks):
     from agrifly_tpu.ops import launder
 
     closed = _trace_batched_loop(params, treedef, specs, n_ticks)
+    for c in closed.consts:
+        if isinstance(c, jax.core.Tracer):
+            raise NotImplementedError(
+                "batched tick kernel captured a traced const (e.g. a "
+                "traced params leaf); only the single-vehicle kernel "
+                "supports those — close over concrete params here")
     consts = [launder._np_carrier(c) for c in closed.consts]
     const_specs = tuple((tuple(c.shape), jnp.dtype(c.dtype)) for c in consts)
 

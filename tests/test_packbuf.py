@@ -108,6 +108,24 @@ def test_fleet_state_packs_too():
     assert_tree_bitexact(p.unpack(p.pack(state)), state)
 
 
+def test_unpack_np_matches_device_unpack():
+    # the host-read path: one np.asarray per carrier, leaves are views
+    tree = {
+        "f32": jnp.array([1.5, -0.0, np.nan], jnp.float32),
+        "i32": jnp.array([[-7, 2**31 - 1]], jnp.int32),
+        "bool": jnp.array([True, False]),
+        "f64": jnp.array([-1e300], jnp.float64),
+    }
+    p = packbuf.Packer(tree)
+    bufs = p.pack(tree)
+    host = p.unpack_np(tuple(np.asarray(b) for b in bufs))
+    assert_tree_bitexact(host, tree)
+    assert all(isinstance(x, np.ndarray)
+               for x in jax.tree_util.tree_leaves(host))
+    with pytest.raises(ValueError):
+        p.unpack_np((np.zeros(4, np.uint32),))
+
+
 def test_shape_mismatch_is_loud():
     tree = {"a": jnp.zeros((3,), jnp.float32)}
     p = packbuf.Packer(tree)

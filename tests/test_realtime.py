@@ -65,6 +65,55 @@ def test_run_realtime_sim_cadence_unchanged():
     assert abs(counts["telemetry1"] / sim_s - 100.0) < 5.0
 
 
+def test_orchard_run_realtime_full_loop_paced():
+    """OrchardBridge.run_realtime paces the FULL perception-plan-act loop
+    (render -> RAPPIDS plan -> track) against the wall clock — the
+    reference can only run this pipeline lockstep (sync_simulator waits
+    on AirSim images; the real-time node has no planner in the loop).
+    Validated at a reduced 2 Hz frame rate on CPU with a tiny image:
+    achieved frame rate within 2.5%, per-frame topics in band, and a
+    mid-run radio kill reaches the onboard FSM through the packed-carry
+    block path."""
+    import pytest
+
+    from agrifly_tpu.io import messages as msgs
+    from agrifly_tpu.io import radio as radio_codec
+    from agrifly_tpu.models import logic as onboard
+    from agrifly_tpu.sim import orchard_env
+
+    params = orchard_env.make_params(width=32, height=24, n_candidates=8,
+                                     use_pallas=False)
+    ob = bridge_mod.OrchardBridge(params, vehicle_id=1, seed=0,
+                                  publish_images=False)
+    rows = []
+
+    def on_quantum(b, k):
+        rows.append(int(b.last_outs["step"][-1]))
+        if k == 3:
+            raw = radio_codec.fields_to_bytes(
+                *radio_codec.make_kill_command())
+            b.bus.publish("radio_command1", msgs.RadioCommand(raw=raw))
+
+    report = ob.run_realtime(3.0, rate_hz=2.0, on_quantum=on_quantum)
+
+    if report["late_quanta"] > 0.2 * report["n_quanta"]:
+        pytest.skip(f"host overloaded: {report['late_quanta']}/"
+                    f"{report['n_quanta']} quanta late")
+    target = report["target_frame_hz"]
+    assert target == 2.0
+    assert abs(report["achieved_frame_hz"] - target) / target < 0.025, report
+    assert report["bands_ok"] and all(report["bands_ok"].values()), report
+    assert report["frames"] == report["n_quanta"]
+    # sim time advanced exactly one frame per quantum (cadence unchanged)
+    spf = int(params.steps_per_frame)
+    assert [r - rows[0] for r in rows] == [spf * i for i in range(len(rows))]
+    # the k=3 kill crossed the codec + 30 ms delay line inside the next
+    # quantum's block and latched the onboard FSM
+    assert int(ob.last_outs["flight_state"][-1]) == onboard.FS_KILLED
+    # no images requested -> none published
+    assert report["topic_hz"]["depth"] == 0.0
+
+
 def test_run_realtime_monitor_and_teleop_hook():
     """A VehicleMonitor on wall time sees in-band (scaled) rates live,
     and a callable cmd retargets the setpoint mid-run (the teleop path);
