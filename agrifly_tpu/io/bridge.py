@@ -36,6 +36,7 @@ RATE_IMU = 500
 RATE_TELEMETRY = 100
 RATE_ESTIMATOR = 100
 RATE_ODOMETRY = 250
+RATE_CMD = 50  # offboard command stream (vehicle_monitor band 45-55 Hz)
 
 
 class TopicBus:
@@ -547,7 +548,7 @@ class OrchardBridge:
 
     def __init__(self, params, vehicle_id=1, seed=0, bus: TopicBus | None = None,
                  publish_images=True, publish_rgb=None, image_downsample=1,
-                 image_throttle=1):
+                 image_throttle=1, publish_wire=True):
         from agrifly_tpu.render import raycast
         from agrifly_tpu.sim import orchard_env
 
@@ -568,6 +569,21 @@ class OrchardBridge:
         # codec + 30 ms wire even while the autonomous mission flies
         self._pending_radio: collections.deque = collections.deque()
         self.bus.subscribe(f"radio_command{self.vehicle_id}", self._on_radio)
+        # wire-topic surface (agrifly.launch parity): the reference
+        # bringup has mocap_output at 200 Hz, telemetry at 100 Hz and the
+        # offboard node's radio_command at 50 Hz sim time flowing next to
+        # the frame topics. The orchard loop runs all three paths
+        # on-device inside the tick, so the bridge reconstructs the wire
+        # from frame rows — see _publish_wire_row for fidelity notes.
+        self.publish_wire = bool(publish_wire)
+        # own-stream publish counters: run_realtime band-checks these
+        # instead of bus counts (the radio_command topic also carries
+        # external operator commands — a kill must not tip the 50 Hz band)
+        self.wire_counts = {"mocap": 0, "telemetry": 0, "cmd": 0}
+        self._wire_accum = {"mocap": 0, "telemetry": 0, "cmd": 0}
+        self._tel_counter = 0
+        self._prev_pose = None  # (pos, att) at the previous frame's end
+        self._publishing_cmd = False  # reentrancy guard vs _on_radio
         self.publish_images = bool(publish_images)
         # RGB pass exists for the procedural world (render/raycast.render_rgb)
         # and imported mesh worlds (render/meshscene.render_rgb)
@@ -624,6 +640,7 @@ class OrchardBridge:
     def state(self, s):
         self._state = s
         self._packed = None  # host-side mutation supersedes the carrier
+        self._prev_pose = None  # wire interpolation must reseed
 
     def _ensure_packer(self):
         if self._packer is None:
@@ -722,6 +739,7 @@ class OrchardBridge:
                                              np.int32),
                               *self._pack_jit(st))
         counts0 = dict(self.bus.counts)
+        wire0 = dict(self.wire_counts)
         frames0 = self.frame_count
         n_quanta = max(1, int(round(duration_s * rate / block)))
         late = 0
@@ -749,13 +767,33 @@ class OrchardBridge:
         for name, topic in (("truth", f"simulator_truth{vid}"),
                             ("planner", f"planner_diagnostics{vid}"),
                             ("controller", f"controller_diagnostics{vid}"),
-                            ("depth", f"depthImage{vid}")):
+                            ("depth", f"depthImage{vid}"),
+                            ("mocap", f"mocap_output{vid}"),
+                            ("telemetry", f"telemetry{vid}"),
+                            ("cmd", f"radio_command{vid}")):
             topic_hz[name] = (self.bus.counts.get(topic, 0)
                               - counts0.get(topic, 0)) / wall
         bands_ok = {}
         for name in ("truth", "planner", "controller"):
             bands_ok[name] = bool(
                 0.9 * rate <= topic_hz[name] <= 1.1 * rate)
+        if self.publish_wire:
+            # wire-topic health bands (vehicle_monitor): checked against
+            # SIM time — the cadences ride sim time by construction, and
+            # at full rate sim time IS wall time (pacing itself is proven
+            # by the wall-clock frame-topic bands above). Only the
+            # bridge's own stream counts (wire_counts): the
+            # radio_command topic also carries external operator
+            # commands, which must not tip the 50 Hz band.
+            from agrifly_tpu.utils import monitor as monitor_mod
+
+            sim_s = ((self.frame_count - frames0)
+                     * int(self.params.steps_per_frame)
+                     * float(self.params.base.dt_us) * 1e-6)
+            for name in ("mocap", "telemetry", "cmd"):
+                lo, hi = monitor_mod.BANDS[name]
+                r = (self.wire_counts[name] - wire0[name]) / sim_s
+                bands_ok[name] = bool(lo <= r <= hi)
         return {
             "frames": self.frame_count - frames0,
             "wall_s": wall,
@@ -791,6 +829,11 @@ class OrchardBridge:
             msgs.Header(stamp=stamp, seq=seq))
 
     def _on_radio(self, msg: msgs.RadioCommand):
+        if self._publishing_cmd:
+            # our own 50 Hz command-stream publish (_publish_wire_row):
+            # the device tick already applied these commands through the
+            # in-sim delay line — re-injecting would double-command
+            return
         self._pending_radio.append(msg.raw[: radio_codec.RAW_PACKET_SIZE])
 
     def frame(self):
@@ -900,7 +943,127 @@ class OrchardBridge:
         for i in range(n):
             row = jax.tree_util.tree_map(lambda x: x[i], outs)
             self.frame_count += 1
+            if self.publish_wire:
+                self._publish_wire_row(row)
             self._publish_row(row)
+
+    def _publish_wire_row(self, row):
+        """Reconstruct the wire-topic surface for one frame: mocap_output
+        at 200 Hz, telemetry at 100 Hz and the offboard command stream on
+        radio_command at 50 Hz sim time (the reference bringup's
+        cadences — Simulator/main.cpp mocap, QuadcopterLogic telemetry,
+        ExampleVehicleStateMachine's rates commands), each message
+        stamped at its true tick time within the frame.
+
+        Fidelity: the orchard loop runs these paths on-device inside the
+        tick, so the bridge reconstructs them from frame rows. The mocap
+        pose is linearly interpolated between the frame-boundary truth
+        poses (worst-case midpoint error over a 32 ms frame is a*T^2/8
+        ≈ 1.3 mm at 10 m/s² — under the mocap noise the estimator
+        consumed); telemetry and command VALUES are the frame-end onboard
+        snapshot held for up to one frame (zero-order hold), and the
+        telemetry packet counter advances host-side (the in-sim logic
+        counter is untouched — the orchard tick never encodes packets).
+        All values cross the real wire quantization (telemetry
+        ±range→u16 map, the 23-byte rates-command codec), so bag
+        consumers see wire-accurate resolution."""
+        vid = self.vehicle_id
+        dt_us = int(self.params.base.dt_us)
+        spf = int(self.params.steps_per_frame)
+        step_end = int(row["step"])
+        pos1 = np.asarray(row["pos"], np.float64)
+        att1 = np.asarray(row["att"], np.float64)
+        if self._prev_pose is None:
+            pos0, att0 = pos1, att1
+        else:
+            pos0, att0 = self._prev_pose
+        if float(att0 @ att1) < 0.0:
+            att0 = -att0  # same rotation; take the short lerp arc
+        acc = self._wire_accum
+
+        def fires(name, rate):
+            period = 10 ** 6 // rate
+            acc[name] += dt_us
+            if acc[name] > period:
+                acc[name] -= period
+                self.wire_counts[name] += 1
+                return True
+            return False
+
+        for k in range(1, spf + 1):
+            t = (step_end - spf + k) * dt_us * 1e-6
+            if fires("mocap", RATE_MOCAP):
+                w = k / spf
+                pos = pos0 + (pos1 - pos0) * w
+                att = att0 + (att1 - att0) * w
+                att = att / float(np.linalg.norm(att))
+                yaw, pitch, roll = _ypr_np(att)
+                self.bus.publish(
+                    f"mocap_output{vid}",
+                    msgs.MocapOutput(
+                        header=msgs.Header(stamp=t), vehicleID=vid,
+                        posx=pos[0], posy=pos[1], posz=pos[2],
+                        attyaw=yaw, attpitch=pitch, attroll=roll,
+                        attq0=att[0], attq1=att[1], attq2=att[2],
+                        attq3=att[3],
+                    ),
+                )
+            if fires("cmd", RATE_CMD):
+                mtype, mflags, fields = radio_codec.make_rates_command_np(
+                    float(row["last_cmd_thrust"]),
+                    np.asarray(row["last_cmd_angvel"], np.float64))
+                raw = radio_codec.fields_to_bytes(mtype, mflags, fields)
+                # reentrancy guard: _on_radio must not re-inject our own
+                # stream (the tick already applied these commands)
+                self._publishing_cmd = True
+                try:
+                    self.bus.publish(
+                        f"radio_command{vid}",
+                        msgs.RadioCommand(header=msgs.Header(stamp=t),
+                                          raw=raw))
+                finally:
+                    self._publishing_cmd = False
+            if fires("telemetry", RATE_TELEMETRY):
+                self._publish_telemetry_row(row, t)
+        self._prev_pose = (pos1, att1)
+
+    def _publish_telemetry_row(self, row, t):
+        """One telemetry message from a frame row, through the host wire
+        quantization (io/telemetry.wire_quantize_np) — field-for-field
+        what SimBridge publishes from encode_from_logic + decode."""
+        vid = self.vehicle_id
+        q = tel_codec.wire_quantize_np
+        acc = q(row["tel_acc"], tel_codec.RANGE_ACC)
+        gyro = q(row["tel_gyro"], tel_codec.RANGE_GYRO)
+        forces = q(row["tel_motor_forces"], tel_codec.RANGE_FORCE)
+        kf_pos = q(row["tel_kf_pos"], tel_codec.RANGE_POS)
+        batt = q(row["tel_batt"], tel_codec.RANGE_BATT)
+        kf_vel = q(row["tel_kf_vel"], tel_codec.RANGE_VEL)
+        att = np.asarray(row["tel_kf_att"], np.float64)
+        sign = 1.0 if att[0] > 0 else -1.0  # ops/rotation.to_vector_part
+        att_v = q(sign * att[1:4], tel_codec.RANGE_ATT)
+        debug = q(row["tel_debug"], tel_codec.RANGE_GENERIC)
+        # YPR rebuilt from the wire attitude's vector part (w >= 0),
+        # exactly like the reference publisher (SyncSimulator:595-602)
+        w = float(np.sqrt(max(0.0, 1.0 - float(att_v @ att_v))))
+        ypr = _ypr_np(np.array([w, att_v[0], att_v[1], att_v[2]]))
+        num = self._tel_counter % 256
+        self._tel_counter += 1
+        self.bus.publish(
+            f"telemetry{vid}",
+            msgs.Telemetry(
+                header=msgs.Header(stamp=t), vehicleID=vid,
+                type=tel_codec.PACKET_TYPE_PT1, packetNumber=num,
+                accelerometer=tuple(acc), rateGyro=tuple(gyro),
+                position=tuple(kf_pos), attitude=tuple(att_v),
+                velocity=tuple(kf_vel),
+                attitudeYPR=tuple(float(x) for x in ypr),
+                motorForces=tuple(forces), debugVals=tuple(debug),
+                batteryVoltage=float(batt),
+                panicReason=int(row["panic"]),
+                warnings=int(row["tel_warnings"]),
+            ),
+        )
 
     def _publish_row(self, row):
         """Publish one frame's truth + planner/controller diagnostics

@@ -140,6 +140,31 @@ def decode_message(msg_type, fields):
 # host-side byte packets (for the ROS-schema bridge / logging)
 # ----------------------------------------------------------------------------
 
+def encode_field_np(val, limit):
+    """Host-numpy encode_field (same codes, f32 math like the device)."""
+    val = np.asarray(val, np.float32)
+    limit = np.asarray(limit, np.float32)
+    code = (val * np.float32(_HALF) / limit
+            + np.float32(0.5)).astype(np.int32) + _HALF
+    in_range = (val > -limit) & (val < limit)
+    return np.where(in_range, code,
+                    np.where(val >= limit, _MAX - 1, 0)).astype(np.int32)
+
+
+def make_rates_command_np(thrust, ang_vel, flags=0):
+    """Host-numpy rates command — the wire codes of make_rates_command
+    without a device dispatch. The orchard topic bridge publishes the
+    offboard node's 50 Hz command stream (quad_rappids_planner_controller
+    → radio_command{id}) from host frame rows; a jitted encode per
+    message would cost a device round trip each."""
+    vals = np.array([thrust, ang_vel[0], ang_vel[1], ang_vel[2]],
+                    np.float32)
+    lims = np.array([MAX_CMD_THRUST] + [MAX_CMD_ANG_RATES] * 3, np.float32)
+    fields = np.zeros(NUM_FIELDS, np.int32)
+    fields[:4] = encode_field_np(vals, lims)
+    return TYPE_EXTERNAL_RATES_CMD, int(flags), fields
+
+
 def fields_to_bytes(msg_type: int, flags: int, fields: np.ndarray) -> bytes:
     """Pack into the 23-byte wire format (big-endian u16 fields)."""
     raw = np.zeros(RAW_PACKET_SIZE, np.uint8)

@@ -138,6 +138,24 @@ def decode(pkts: TelemetryPackets) -> DecodedTelemetry:
     )
 
 
+def wire_quantize_np(x, rng):
+    """Host-side (numpy) round trip through the telemetry wire
+    quantization: `_from_ones(decode_ones(encode_ones(_to_ones(x))))`
+    with the normalization done in f32, like the device codec on f32
+    inputs. Used by the orchard topic bridge, which builds its telemetry
+    messages from host-resident frame rows (one device transfer already
+    paid) instead of dispatching the jitted codec per packet."""
+    a, b = rng
+    x32 = np.asarray(x, np.float32)
+    t32 = ((x32 - np.float32(a)) / np.float32(b - a)) * np.float32(2.0) \
+        - np.float32(1.0)
+    code = (32768.0 + 32767.0 * t32).astype(np.int32)
+    code = np.where((t32 >= -1.0) & (t32 <= 1.0), code, 0)
+    val = np.where(code == 0, np.nan,
+                   (code.astype(np.float32) - 32768.0) / 32768.0)
+    return ((val.astype(np.float64) + 1.0) / 2.0) * (b - a) + a
+
+
 def pack_bytes(ptype: int, packet_number: int, data: np.ndarray) -> bytes:
     """Host-side: pack one packet into the 30-byte wire struct."""
     out = np.zeros(30, np.uint8)

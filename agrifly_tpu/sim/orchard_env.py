@@ -529,6 +529,7 @@ def _diag_extras(params: OrchardEnvParams, s: OrchardEnvState) -> dict:
     tracking refs, ExampleVehicleStateMachine.cpp:666-696), and the last
     wire command. Same device math the bridge's per-frame path ran."""
     from agrifly_tpu.offboard import estimators
+    from agrifly_tpu.ops import filters
 
     p = params.base
     now_us = s.base.step * p.dt_us
@@ -536,9 +537,19 @@ def _diag_extras(params: OrchardEnvParams, s: OrchardEnvState) -> dict:
         s.base.mocap, now_us, p.est_latency_us)
     ref_pos, ref_vel, ref_acc, ref_thrust, ref_angvel_w = _tracking_refs(
         params, s.planned, s.base.step)
+    lg = s.base.logic
     return dict(
         step=s.base.step, planned=s.planned, plan_count=s.plan_count,
         mstage=s.mstage, waypoint_idx=s.waypoint_idx,
+        # telemetry-packet sources (io/telemetry.encode_from_logic reads
+        # the same LogicState fields) — lets the topic bridge publish the
+        # 100 Hz telemetry wire from host rows without touching the state
+        tel_acc=filters.lp2_value(lg.acc_lp),
+        tel_gyro=filters.lp2_value(lg.gyro_lp),
+        tel_motor_forces=lg.des_motor_forces,
+        tel_kf_pos=lg.kf.pos, tel_kf_vel=lg.kf.vel, tel_kf_att=lg.kf.att,
+        tel_batt=lg.batt_voltage, tel_debug=lg.debug,
+        tel_warnings=lg.warnings,
         est_pos=est_pos, est_vel=est_vel, est_att=est_att,
         ref_pos=ref_pos, ref_vel=ref_vel, ref_acc=ref_acc,
         ref_thrust=ref_thrust,

@@ -210,17 +210,88 @@ def test_orchard_bridge_diagnostics_and_recorder(tmp_path):
     assert bus.counts["planner_diagnostics3"] == n_frames
     assert bus.counts["controller_diagnostics3"] == n_frames
     assert bus.counts["simulator_truth3"] == n_frames
-    assert rec.count == 3 * n_frames
+    # wire-topic surface at the reference sim-time cadences
+    # (vehicle_monitor bands: mocap 195-205, cmd 45-55 Hz)
+    sim_s = n_frames * 16 * 0.002
+    assert 195 <= bus.counts["mocap_output3"] / sim_s <= 205
+    assert 95 <= bus.counts["telemetry3"] / sim_s <= 105
+    assert 45 <= bus.counts["radio_command3"] / sim_s <= 55
+    n_msgs = sum(bus.counts.values())
+    assert rec.count == n_msgs
     rec.close()
 
     lines = [json.loads(l) for l in open(path)]
-    assert len(lines) == 3 * n_frames
+    assert len(lines) == n_msgs
     pds = [l["msg"] for l in lines if l["topic"] == "planner_diagnostics3"]
     assert pds[-1]["output"]["planner_statistics"]["NumTrajectoriesGenerated"] == 48
     assert len(pds[-1]["output"]["trajectory_transform"]["rotation"]) == 4
     cds = [l["msg"] for l in lines if l["topic"] == "controller_diagnostics3"]
     assert "thrust_command_B" in cds[-1]["output"]
     assert "position_estimate_W" in cds[-1]["input"]
+
+
+def test_orchard_bridge_wire_topics():
+    """The reconstructed wire surface (OrchardBridge._publish_wire_row):
+    mocap poses interpolate between frame-boundary truth (stamps strictly
+    increasing at 200 Hz sim time, positions inside the frame's segment),
+    telemetry fields cross the real wire quantization (u16 resolution,
+    packet counter advancing mod 256), the 50 Hz command stream decodes
+    as rates commands matching the frame's last applied command to wire
+    resolution — and the bridge's own stream is NOT re-injected into the
+    onboard delay line (echo guard), while an external kill still is."""
+    import numpy as np
+
+    from agrifly_tpu.io import bridge, messages as msgs, radio as radio_codec
+    from agrifly_tpu.io import telemetry as tel_codec
+    from agrifly_tpu.models import logic as onboard
+    from agrifly_tpu.sim import orchard_env
+
+    params = orchard_env.make_params(width=32, height=24, n_candidates=8,
+                                     use_pallas=False)
+    ob = bridge.OrchardBridge(params, vehicle_id=1, publish_images=False)
+    moc, tel, cmd = [], [], []
+    ob.bus.subscribe("mocap_output1", moc.append)
+    ob.bus.subscribe("telemetry1", tel.append)
+    ob.bus.subscribe("radio_command1", cmd.append)
+
+    ob.fly_frames_block(16)
+    # echo guard: our own command stream never reaches the delay line
+    assert len(cmd) > 0 and len(ob._pending_radio) == 0
+
+    stamps = [m.header.stamp for m in moc]
+    assert all(b > a for a, b in zip(stamps, stamps[1:]))
+    # interpolated z stays inside the climb's frame segments (takeoff is
+    # monotone in z): mocap z must be sandwiched by consecutive frame ends
+    frame_z = np.asarray(ob.last_outs["pos"])[:, 2]
+    assert all(m.posz <= frame_z.max() + 1e-9 for m in moc)
+    for m in moc:
+        q = np.array([m.attq0, m.attq1, m.attq2, m.attq3])
+        assert abs(np.linalg.norm(q) - 1.0) < 1e-9
+
+    # telemetry: packet counter advances mod 256, values are the wire
+    # quantization of the frame-end logic snapshot
+    nums = [m.packetNumber for m in tel]
+    assert nums == [(nums[0] + i) % 256 for i in range(len(nums))]
+    last = tel[-1]
+    row_batt = float(ob.last_outs["tel_batt"][-1])
+    assert last.batteryVoltage == pytest.approx(
+        float(tel_codec.wire_quantize_np(row_batt, tel_codec.RANGE_BATT)))
+    assert last.panicReason == int(ob.last_outs["panic"][-1])
+
+    # command stream: rates commands carrying the last applied wire
+    # command, to wire resolution
+    mtype, _, fields = radio_codec.bytes_to_fields(cmd[-1].raw)
+    assert mtype == radio_codec.TYPE_EXTERNAL_RATES_CMD
+    dec = np.asarray(radio_codec.decode_message(mtype, fields))
+    thrust = float(ob.last_outs["last_cmd_thrust"][-1])
+    assert abs(dec[0] - thrust) <= 35.0 / 32768 + 1e-6
+
+    # an external kill still crosses the guard into the delay line
+    raw = radio_codec.fields_to_bytes(*radio_codec.make_kill_command())
+    ob.bus.publish("radio_command1", msgs.RadioCommand(raw=raw))
+    assert len(ob._pending_radio) == 1
+    ob.fly_frames_block(2)
+    assert int(ob.last_outs["flight_state"][-1]) == onboard.FS_KILLED
 
 
 @pytest.mark.slow
