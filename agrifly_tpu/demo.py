@@ -160,6 +160,20 @@ def _realtime_loop(args):
     rate = float(args.rate)
     block = max(1, int(round(rate / 100.0)))  # ~100 Hz operator quanta
     quanta_per_s = max(1, int(round(rate / block)))
+    # per-tick jit dispatch through the TPU tunnel costs more than the
+    # whole 2 ms tick budget — the device-block path (one scan jit per
+    # quantum on the packed carrier, pipelined one deep) is what holds
+    # the reference node's true 500 Hz there. CPU keeps per-tick
+    # granularity (cmd re-read every tick). The tunnel's fixed ~30 ms
+    # device-read cost sets the TPU quantum: 40 ticks (80 ms) holds
+    # 500 Hz with zero late quanta (25 is marginal at 39% late); the
+    # price is operator latency of <= 2 quanta (~160 ms).
+    import jax
+
+    device_blocks = jax.devices()[0].platform != "cpu"
+    if device_blocks:
+        block = max(block, 40)
+        quanta_per_s = max(1, int(round(rate / block)))
 
     def on_quantum(b, k):
         t = k * block / rate
@@ -182,10 +196,12 @@ def _realtime_loop(args):
                   f"z={pos[2]:5.2f}m")
 
     print(f"realtime sim: {rate:.0f} Hz wall-clock pacing, "
-          f"block={block} ticks/quantum, duration {args.duration}s")
+          f"block={block} ticks/quantum"
+          + (" (device blocks)" if device_blocks else "")
+          + f", duration {args.duration}s")
     report = br.run_realtime(
         args.duration, lambda: ctl["cmd"], rate_hz=rate, block=block,
-        on_quantum=on_quantum)
+        on_quantum=on_quantum, device_blocks=device_blocks)
     if js is not None and hasattr(js, "close"):
         js.close()
     # pass/fail on the sim's own cadences; the cmd band reflects the
