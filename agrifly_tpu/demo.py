@@ -57,7 +57,17 @@ def _teleop_loop(args, params, orchard_env, onboard):
     BLK = 10 if jax.devices()[0].platform != "cpu" else 4
     # disarmed: planning/flight gated out until the start button
     disarmed = params._replace(start_flight_step=jnp.int32(2**30))
-    fly_fns = {False: jax.jit(lambda s: orchard_env.fly(disarmed, s, BLK)[0])}
+    cur_params = {False: disarmed}
+    fly_fns = {}  # (armed, blk) -> jitted fly
+
+    def _fly_fn(armed, blk):
+        fn = fly_fns.get((armed, blk))
+        if fn is None:
+            p = cur_params[armed]
+            fn = jax.jit(lambda s: orchard_env.fly(p, s, blk)[0])
+            fly_fns[(armed, blk)] = fn
+        return fn
+
     state = orchard_env.init_state(params, jax.random.PRNGKey(args.seed))
     dt = float(params.base.dt_us) * 1e-6
     armed = killed = False
@@ -65,26 +75,27 @@ def _teleop_loop(args, params, orchard_env, onboard):
           f"({BLK} frames per block)")
     # Pipelined: dispatch block b, read block b-1's status — the host
     # readback overlaps the in-flight block's compute. Operator time is
-    # known statically (start step + b*BLK frames), so polls never touch
-    # the device; only an arm/kill EVENT syncs the queue. Compile blocks
-    # (first call, first armed call) are timed out of the steady figure.
-    steps_per_blk = BLK * int(params.steps_per_frame)
+    # known statically (start step + frames-flown-so-far), so polls never
+    # touch the device; only an arm/kill EVENT syncs the queue. Compile
+    # blocks (first call per (armed, blk) shape) are timed out of the
+    # steady figure.
+    steps_per_frame = int(params.steps_per_frame)
     start_step = int(state.base.step)
     prev = None
     ran = n_excl = 0
+    frames_done = 0
     t_excl = 0.0
     t_wall = time.perf_counter()
-    for b in range(max(1, args.frames // BLK)):
-        t = (start_step + b * steps_per_blk) * dt
+    b = 0
+    while frames_done < max(BLK, args.frames):
+        blk = min(BLK, max(BLK, args.frames) - frames_done)
+        t = (start_step + frames_done * steps_per_frame) * dt
         jsv = js.poll(t)
-        compile_blk = ran == 0
         if jsv.buttonStart and not armed:
             armed = True
-            compile_blk = True
-            armed_params = params._replace(
-                start_flight_step=jnp.int32(start_step + b * steps_per_blk + 1))
-            fly_fns[True] = jax.jit(
-                lambda s: orchard_env.fly(armed_params, s, BLK)[0])
+            cur_params[True] = params._replace(
+                start_flight_step=jnp.int32(
+                    start_step + frames_done * steps_per_frame + 1))
             print(f"t={t:6.2f}s ARMED — mission start (start button)")
         if jsv.buttonRed and not killed:
             killed = True
@@ -95,15 +106,18 @@ def _teleop_loop(args, params, orchard_env, onboard):
                                     state.base.step, jnp.bool_(True))))
             print(f"t={t:6.2f}s KILL — emergency-kill on the radio "
                   f"(red button)")
+        compile_blk = (armed, blk) not in fly_fns
         t_blk = time.perf_counter()
-        state = fly_fns[armed](state)
+        state = _fly_fn(armed, blk)(state)
         ran += 1
+        frames_done += blk
+        b += 1
         if compile_blk:
             jax.block_until_ready(state)
             t_excl += time.perf_counter() - t_blk
             n_excl += 1
         fs = None
-        if prev is not None and ((b + 1) % 8 == 0 or killed):
+        if prev is not None and (b % 8 == 0 or killed):
             fs = int(prev.base.logic.fs)
             pos = np.asarray(prev.base.plant.pos)
             panic = int(prev.base.logic.panic_reason)
@@ -123,7 +137,7 @@ def _teleop_loop(args, params, orchard_env, onboard):
     msg = (f"teleop flew {sim_time:.1f}s of sim time in {wall:.1f}s wall "
            f"({sim_time / wall:.2f}x realtime incl. compile)")
     if ran > n_excl:
-        blk_sim = steps_per_blk * dt
+        blk_sim = BLK * steps_per_frame * dt
         steady = (wall - t_excl) / (ran - n_excl)
         msg += (f"; steady state {blk_sim / steady:.2f}x "
                 f"realtime (poll every {blk_sim * 1e3:.0f} ms of sim)")
@@ -360,7 +374,13 @@ def main(argv=None):
                          "publish the topic surface at reference "
                          "cadences, live vehicle_monitor line per "
                          "second; combine with --teleop for operator "
-                         "arm/kill at ~100 Hz polls")
+                         "arm/kill at ~100 Hz polls. NB on TPU the "
+                         "tunnel's ~30 ms device read forces 40-tick "
+                         "(80 ms) dispatch quanta, so operator/radio "
+                         "injection lands on an 80 ms grid (~160 ms "
+                         "worst case) vs the reference node's 2 ms "
+                         "tick; on CPU injection is per-quantum at "
+                         "--rate granularity")
     ap.add_argument("--duration", type=float, default=10.0,
                     help="--realtime flight duration in wall seconds")
     ap.add_argument("--rate", type=float, default=500.0,
@@ -449,15 +469,18 @@ def main(argv=None):
         print(f"agrifly_tpu demo (recording): {jax.devices()[0].platform} "
               f"backend, {w}x{h} depth, {BLK} frames/block -> {args.record}")
         t_wall = time.perf_counter()
-        for b in range(max(1, args.frames // BLK)):
-            ob.fly_frames_block(BLK)
+        done = 0
+        while done < args.frames:
+            blk = min(BLK, args.frames - done)
+            ob.fly_frames_block(blk)
+            done += blk
             # status from the block's own output rows — reading ob.state
             # here would unpack the packed carry every block
             outs = ob.last_outs
             if int(outs["panic"][-1]) != 0:
                 print("PANIC — aborting")
                 break
-            if ((b + 1) * BLK) % 32 < BLK:
+            if done % 32 < blk:
                 pos = outs["pos"][-1]
                 print(f"t={int(outs['step'][-1]) * 0.002:6.2f}s "
                       f"pos=({pos[0]:7.2f},{pos[1]:6.2f},{pos[2]:5.2f}) "

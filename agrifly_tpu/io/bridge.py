@@ -499,6 +499,8 @@ class SimBridge:
                     velx=vel[0], vely=vel[1], velz=vel[2],
                     attyaw=yaw, attpitch=pitch, attroll=roll,
                     attq0=att[0], attq1=att[1], attq2=att[2], attq3=att[3],
+                    angvelx=angvel[0], angvely=angvel[1],
+                    angvelz=angvel[2],
                 ),
             )
             acc_f = r[_TB_ACCF]

@@ -151,9 +151,16 @@ def wire_quantize_np(x, rng):
         - np.float32(1.0)
     code = (32768.0 + 32767.0 * t32).astype(np.int32)
     code = np.where((t32 >= -1.0) & (t32 <= 1.0), code, 0)
-    val = np.where(code == 0, np.nan,
-                   (code.astype(np.float32) - 32768.0) / 32768.0)
-    return ((val.astype(np.float64) + 1.0) / 2.0) * (b - a) + a
+    # de-normalize in f32 like the device decode path (_from_ones on f32)
+    # and bridge._tel_from_codes_np, widening to f64 only at the end —
+    # OrchardBridge values must match SimBridge/device-decoded values
+    # bit-for-bit, not within an f32 ulp.
+    val = np.where(code == 0, np.float32(np.nan),
+                   (code.astype(np.float32) - np.float32(32768.0))
+                   / np.float32(32768.0)).astype(np.float32)
+    out = (((val + np.float32(1.0)) / np.float32(2.0))
+           * np.float32(b - a) + np.float32(a))
+    return out.astype(np.float64)
 
 
 def pack_bytes(ptype: int, packet_number: int, data: np.ndarray) -> bytes:

@@ -186,7 +186,12 @@ def eval_jaxpr(jaxpr, consts, *args):
                 # delta-blend instead: c0 + m*(c1-c0) on 32-bit integer
                 # views (wraparound-exact for ints; f32 via bitcast so
                 # NaN/-0 payloads are preserved bit-for-bit).
-                out = _blend_rank1(pred, cases[0], cases[1])
+                # The delta-blend is only exact for a strictly-0/1 mask;
+                # laundered bool carriers are non-negative ints (compares
+                # → 0/1, and/or/add combos stay >= 0), so clamp to 1 in
+                # case an OR ever rode through an add (carrier == 2).
+                out = _blend_rank1(lax.min(pred, jnp.ones_like(pred)),
+                                   cases[0], cases[1])
             else:
                 # same-shape transient i1: the one form Mosaic lowers
                 out = lax.select_n(pred != 0, *cases)

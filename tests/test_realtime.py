@@ -9,6 +9,7 @@ topic cadences still exact in sim time, and teleop-style command
 retargeting through the callable-cmd hook.
 """
 
+import jax.numpy as jnp
 import numpy as np
 
 from agrifly_tpu.io import bridge as bridge_mod
@@ -123,16 +124,26 @@ def test_run_blocked_matches_per_tick():
     fuse differently; published euler/telemetry decode is host-side)."""
     br_a = _mk_bridge()
     br_b = _mk_bridge()
+    # spin the plant so angvel is visibly nonzero on simulator_truth —
+    # a path that drops angvel (publishes zeros) must fail the compare
+    for br in (br_a, br_b):
+        st = br.state
+        br.state = st._replace(plant=st.plant._replace(
+            angvel=jnp.asarray([0.3, -0.2, 0.1], st.plant.angvel.dtype)))
     cmd = env_mod.hover_command()
 
     streams = {"a": [], "b": []}
     tel = {"a": [], "b": []}
     br_a.bus.subscribe("simulator_truth1",
                        lambda m: streams["a"].append((m.header.stamp,
-                                                      m.posx, m.posy, m.posz)))
+                                                      m.posx, m.posy, m.posz,
+                                                      m.angvelx, m.angvely,
+                                                      m.angvelz)))
     br_b.bus.subscribe("simulator_truth1",
                        lambda m: streams["b"].append((m.header.stamp,
-                                                      m.posx, m.posy, m.posz)))
+                                                      m.posx, m.posy, m.posz,
+                                                      m.angvelx, m.angvely,
+                                                      m.angvelz)))
     br_a.bus.subscribe("telemetry1", lambda m: tel["a"].append(m))
     br_b.bus.subscribe("telemetry1", lambda m: tel["b"].append(m))
 
@@ -144,8 +155,11 @@ def test_run_blocked_matches_per_tick():
     assert br_a.t_us == br_b.t_us == n * int(br_a.params.dt_us)
     sa = np.asarray(streams["a"], np.float64)
     sb = np.asarray(streams["b"], np.float64)
-    assert sa.shape == sb.shape == (n, 4)
+    assert sa.shape == sb.shape == (n, 7)
     np.testing.assert_allclose(sa, sb, rtol=0, atol=1e-5)
+    # angvel must be the real values, not zeros (it moves during takeoff
+    # ticks well past the 1e-5 tolerance if one path dropped it)
+    assert np.any(sa[:, 4:7] != 0.0)
     # telemetry fired on the same ticks with the same packet counters;
     # values agree to one wire-quantization step (codes can differ by
     # +-1 where the two programs' floats differ by an ulp)
