@@ -10,10 +10,12 @@ equally-named ROS topic and forwards inbound `radio_command{id}` /
 `joystick_values` ROS messages onto the bus — the drop-in equivalent of
 running the reference's `simulator` node.
 
-Without ROS the module stays fully importable: the mapping tables and the
-field-copy conversion are plain python and unit-tested against stub
-message classes (tests/test_fleet_and_bridge.py), so the adapter logic is
-covered even though CI has no ROS.
+Without rospy the adapter still runs over REAL ROS1 wire protocols via
+`io/miniros.py` (pure-python XML-RPC master/slave + TCPROS): pass
+``ros=miniros.make_ros(master_uri)`` pointing at a MiniMaster or a live
+roscore. tests/test_miniros.py integration-tests the full adapter over
+localhost TCPROS sockets; tests/test_fleet_and_bridge.py additionally
+unit-tests the mapping tables against stub classes.
 """
 
 from __future__ import annotations
@@ -176,14 +178,19 @@ class RosAdapter:
     INBOUND = (r"radio_command\d+", r"joystick_values", r"imagePoll\d*")
 
     def __init__(self, bus, vehicle_ids=(1,), node_name="agrifly_tpu_sim",
-                 queue_size=1):
+                 queue_size=1, ros=None):
+        """ros: optional (rospy_like, {package: namespace}) pair. Pass
+        agrifly_tpu.io.miniros.make_ros(master_uri) to run the adapter over
+        the pure-python ROS1 wire layer (real XML-RPC + TCPROS, no rospy) —
+        against the in-image MiniMaster or a real roscore. When None, a
+        real rospy workspace is auto-detected as before."""
         self.bus = bus
-        self._ros = _import_ros()
+        self._ros = ros if ros is not None else _import_ros()
         self.active = self._ros is not None
         self._pubs: Dict[str, Callable] = {}
         if not self.active:
             return
-        rospy, pkgs = self._ros  # pragma: no cover - ROS workspace only
+        rospy, pkgs = self._ros
         rospy.init_node(node_name, anonymous=True)
         self._rospy, self._pkgs = rospy, pkgs
         self._time_from_sec = rospy.Time.from_sec

@@ -78,7 +78,9 @@ class VehicleParams:
 
     @property
     def inertia_matrix(self):
-        return np.diag([self.inertia_xx, self.inertia_xx, self.inertia_zz]).astype(np.float32)
+        # float64 on purpose: every consumer casts to its working dtype, and
+        # the C++-golden f64 teacher-forced tests need the exact double values
+        return np.diag([self.inertia_xx, self.inertia_xx, self.inertia_zz])
 
     @property
     def prop_torque_from_speed_sqr(self):

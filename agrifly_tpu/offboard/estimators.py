@@ -210,19 +210,50 @@ def mocap_init(now_us=0) -> MocapEstState:
     )
 
 
-def _integrate_segment(pos, vel, att, angvel, acc, cmd_angvel, ballistic, dt):
-    """One piecewise-constant-command integration segment (cpp:161-181)."""
-    new_pos = pos + vel * dt + acc * (dt * dt * 0.5)
+def _integrate_segment(pos, vel, att, angvel, acc, cmd_angvel, ballistic, dt,
+                       v0=None, w0=None):
+    """One piecewise-constant-command integration segment.
+
+    Two reference flavors, kept bug-compatible:
+      * prediction (GetPrediction, MocapStateEstimator.cpp:98-100): pos
+        integrates with the FROZEN start-of-replay velocity `v0` (the
+        member `_vel`, not the evolving est.vel) plus a half-acc term,
+        and att with the FROZEN start angvel `w0` (`_angVel`);
+      * update replay (UpdateWithMeasurement, cpp:165-175): pos
+        integrates with the evolving velocity and NO acc term, att with
+        the evolving angvel.  Pass v0=w0=None for this flavor.
+    In both, vel integrates the commanded acc and angvel first-order
+    tracks the commanded angvel with tau=0.04 s (frozen at 1 when the
+    segment is ballistic).
+    """
+    if v0 is not None:
+        new_pos = pos + v0 * dt + acc * (dt * dt * 0.5)
+        new_att = rot.qmul(att, rot.from_rotation_vector(w0 * dt))
+    else:
+        new_pos = pos + vel * dt
+        new_att = rot.qmul(att, rot.from_rotation_vector(angvel * dt))
     new_vel = vel + acc * dt
-    new_att = rot.qmul(att, rot.from_rotation_vector(angvel * dt))
     c = jnp.exp(-dt / TAU_TRACK_ANGVEL)
     c = jnp.where(ballistic, 1.0, c)
     new_angvel = c * angvel + (1.0 - c) * cmd_angvel
     return new_pos, new_vel, new_att, new_angvel
 
 
-def _replay(s: MocapEstState, t0_us, t1_us, update_variance):
-    """Integrate the command stream from t0 to t1 (fixed sweep over slots).
+def _replay(s: MocapEstState, t0_us, t1_us, update_variance, frozen=False):
+    """Integrate the command stream from t0 to t1 (fixed sweep over slots),
+    bug-compatible with the reference's segmentation.
+
+    The C++ loop (MocapStateEstimator.cpp:80-118 / 139-196) asks the pipe
+    for the newest message active at t; PredictionPipe::GetActiveMessage
+    (PredictionPipe.hpp:33-52) returns that message's FULL window length
+    (next activation - its own activation) as the valid prediction time —
+    measured from its *activation*, not from t.  Consequences faithfully
+    reproduced here: segments overshoot the next activation by the phase
+    offset (t - activation) and keep integrating the stale command; when
+    no message is active yet the replay runs ballistically ALL the way to
+    t1 (predictionTime = 1e10), ignoring messages that activate inside
+    (t, t1).  frozen=True selects the GetPrediction integration flavor
+    (see _integrate_segment).
 
     A fully-vectorized closed-form variant (prefix sums + pairwise decay
     matrix + balanced qmul tree) was tried and measured 3x SLOWER than
@@ -235,21 +266,10 @@ def _replay(s: MocapEstState, t0_us, t1_us, update_variance):
     pipe = s.pipe
     pos, vel, att, angvel = s.pos, s.vel, s.att, s.angvel
     var_pos, var_att = s.var_pos, s.var_att
+    v0 = s.vel if frozen else None
+    w0 = s.angvel if frozen else None
 
-    # command active at t0: newest entry with active_us <= t0 (+1us epsilon)
     act, accs, angvels, balls = _pipe_ordered(pipe)
-    is_active0 = act <= t0_us
-    any0 = jnp.any(is_active0)
-    # newest active = one-hot of the max active index (gather-free)
-    idxs = jnp.arange(PIPE_CAPACITY)
-    best = jnp.where(is_active0, idxs, -1).max()
-    sel0 = _col(idxs == best)
-    cur_acc = jnp.where(any0, lin3.relayout(jnp.where(sel0, accs, 0.0).sum(0)),
-                        jnp.zeros(3, jnp.float32))
-    cur_angvel = jnp.where(any0, lin3.relayout(jnp.where(sel0, angvels, 0.0).sum(0)),
-                           jnp.zeros(3, jnp.float32))
-    ball0 = ((idxs == best).astype(jnp.int32) * balls).sum() > 0
-    cur_ball = jnp.where(any0, ball0, jnp.bool_(True))
 
     # variance carried as scalar (p00, p01, p11) triples: building 2x2
     # matrices per segment (eye().at.set, jnp.diag) lowers to scatters under
@@ -267,36 +287,48 @@ def _replay(s: MocapEstState, t0_us, t1_us, update_variance):
 
     t = jnp.maximum(t0_us, jnp.int32(0))
     t1 = t1_us
+    HUGE = jnp.int32(2**30)
 
+    # Sweep slots in push order.  Carry: has = a message window is live
+    # (int 0/1 for Mosaic), a_cur = its activation.  Per slot: if its
+    # activation is still ahead, integrate the live window (full length
+    # from a_cur, clipped to the remaining time — or ballistic to t1 when
+    # nothing is live), then adopt the slot if t has now passed it.
     def seg(carry, x):
         act_i, acc_i, angvel_i, ball_i = x
-        t, pos, vel, att, angvel, cur, vp, va = carry
+        t, has, a_cur, pos, vel, att, angvel, cur, vp, va = carry
         cur_acc, cur_angvel, cur_ball = cur
-        boundary = jnp.clip(act_i, t, t1)
-        dt = (boundary - t).astype(jnp.float32) * 1e-6
+        remaining = jnp.maximum(t1 - t, 0)
+        window = jnp.where(has != 0, act_i - a_cur, HUGE)
+        dt_us = jnp.where(act_i <= t, 0, jnp.minimum(remaining, window))
+        dt = dt_us.astype(jnp.float32) * 1e-6
         pos, vel, att, angvel = _integrate_segment(
-            pos, vel, att, angvel, cur_acc, cur_angvel, cur_ball, dt
+            pos, vel, att, angvel, cur_acc, cur_angvel, cur_ball, dt, v0, w0
         )
         if update_variance:
             vp = step_var(*vp, PROC_STD_POS, dt)
             va = step_var(*va, PROC_STD_ATT, dt)
-        # switch to this command if it activates within (t, t1]
-        switch = (act_i > t0_us) & (act_i <= t1)
-        cur_acc = jnp.where(switch, acc_i, cur_acc)
-        cur_angvel = jnp.where(switch, angvel_i, cur_angvel)
-        cur_ball = jnp.where(switch, ball_i != 0, cur_ball)
-        t = boundary
-        return (t, pos, vel, att, angvel, (cur_acc, cur_angvel, cur_ball), vp, va), None
+        t = t + dt_us
+        adopt = act_i <= t
+        cur_acc = jnp.where(adopt, acc_i, cur_acc)
+        cur_angvel = jnp.where(adopt, angvel_i, cur_angvel)
+        cur_ball = jnp.where(adopt, ball_i != 0, cur_ball)
+        a_cur = jnp.where(adopt, act_i, a_cur)
+        has = jnp.maximum(has, adopt.astype(jnp.int32))
+        return (t, has, a_cur, pos, vel, att, angvel,
+                (cur_acc, cur_angvel, cur_ball), vp, va), None
 
-    carry = (t, pos, vel, att, angvel, (cur_acc, cur_angvel, cur_ball), vp, va)
+    cur = (jnp.zeros(3, jnp.float32), jnp.zeros(3, jnp.float32), jnp.bool_(True))
+    carry = (t, jnp.int32(0), jnp.int32(0), pos, vel, att, angvel, cur, vp, va)
     carry, _ = _sweep(seg, carry, (act, accs, angvels, balls))
-    t, pos, vel, att, angvel, cur, vp, va = carry
+    t, _, _, pos, vel, att, angvel, cur, vp, va = carry
     cur_acc, cur_angvel, cur_ball = cur
 
-    # final segment to t1
+    # final segment to t1 (the live window's prediction time is unbounded
+    # once it is the newest message: tLastMsg = 1e10, PredictionPipe.hpp:38)
     dt = jnp.maximum(t1 - t, 0).astype(jnp.float32) * 1e-6
     pos, vel, att, angvel = _integrate_segment(
-        pos, vel, att, angvel, cur_acc, cur_angvel, cur_ball, dt
+        pos, vel, att, angvel, cur_acc, cur_angvel, cur_ball, dt, v0, w0
     )
     if update_variance:
         vp = step_var(*vp, PROC_STD_POS, dt)
@@ -326,7 +358,8 @@ def mocap_get_prediction(s: MocapEstState, now_us, latency_us):
     reduction layouts into the downstream controllers, which crashes
     Mosaic inside the fused tick kernel (value-identical)."""
     t1 = now_us + latency_us
-    pos, vel, att, angvel, _, _ = _replay(s, s.estimate_us, t1, update_variance=False)
+    pos, vel, att, angvel, _, _ = _replay(s, s.estimate_us, t1,
+                                          update_variance=False, frozen=True)
     return (lin3.relayout(pos), lin3.relayout(vel), lin3.relayout(att),
             lin3.relayout(angvel))
 
@@ -341,13 +374,20 @@ def mocap_update(s: MocapEstState, now_us, meas_pos, meas_att, dt_advance_us) ->
     meas_pos = jnp.asarray(meas_pos, jnp.float32)
     meas_att = jnp.asarray(meas_att, jnp.float32)
     # ---------- uninitialized: adopt the measurement ----------
+    # NB the adoption branch does NOT touch the estimate timestamp
+    # (UpdateWithMeasurement's init path never resets _estimateTimer,
+    # cpp:120-133 — only Reset() does), so the next update replays from
+    # the construction/Reset time, integrating extra variance. Bug-
+    # compatible: setting estimate_us=now_us here leaves a ~1e-3-relative
+    # variance wake that shows up as mrad-level command divergence vs the
+    # C++ golden traces.
     vp0, va0 = _reset_variance()
     s_uninit = s._replace(
         initialized=jnp.bool_(True),
         pos=meas_pos, vel=jnp.zeros(3, jnp.float32),
         att=meas_att, angvel=jnp.zeros(3, jnp.float32),
         var_pos=vp0, var_att=va0,
-        estimate_us=now_us, us_since_good_meas=jnp.int32(0),
+        us_since_good_meas=jnp.int32(0),
     )
 
     # ---------- replay to now ----------
@@ -414,8 +454,10 @@ def mocap_update(s: MocapEstState, now_us, meas_pos, meas_att, dt_advance_us) ->
     var_att_f = 0.5 * (var_att_f + var_att_f.T)
 
     pipe = pipe_clear_expired(s.pipe, now_us)
+    # Force-accept calls Reset(), which leaves _initialized = false — so the
+    # NEXT measurement re-initializes by adoption (cpp:218-227 + Reset()).
     s_init = MocapEstState(
-        initialized=jnp.bool_(True),
+        initialized=~force_accept,
         pos=pos_f, vel=vel_f, att=att_f, angvel=angvel_f,
         var_pos=var_pos_f, var_att=var_att_f,
         estimate_us=now_us, us_since_good_meas=since_good,
@@ -581,66 +623,75 @@ def _gps_cov_segment(cov, last_att_corr, att, angvel, cmd_acc, dt):
     )
 
 
-def _gps_replay(s: GpsEstState, t0_us, t1_us, update_cov):
-    """Replay the command pipe from t0 to t1 for the GPS estimator."""
+def _gps_replay(s: GpsEstState, t0_us, t1_us, update_cov, frozen=False):
+    """Replay the command pipe from t0 to t1 for the GPS estimator.
+
+    Same bug-compatible segmentation as the mocap `_replay` (the C++ GPS
+    estimator shares PredictionPipe and the identical loop structure,
+    GPSStateEstimator.cpp:60-128/143-196): segments run the active
+    message's FULL window measured from its activation, and a replay with
+    no active message runs ballistically to t1.  frozen=True selects the
+    GetPrediction flavor (frozen `_vel`/`_angVel` in pos/att, cpp:108-110).
+    """
     pipe = s.pipe
     act, accs, angvels, balls = _pipe_ordered(pipe)
-    is_active0 = act <= t0_us
-    any0 = jnp.any(is_active0)
-    idxs = jnp.arange(PIPE_CAPACITY)
-    best = jnp.where(is_active0, idxs, -1).max()
-    sel0 = _col(idxs == best)
-    cur = (
-        jnp.where(any0, lin3.relayout(jnp.where(sel0, accs, 0.0).sum(0)),
-                  jnp.zeros(3, jnp.float32)),
-        jnp.where(any0, lin3.relayout(jnp.where(sel0, angvels, 0.0).sum(0)),
-                  jnp.zeros(3, jnp.float32)),
-        jnp.where(any0, ((idxs == best).astype(jnp.int32) * balls).sum() > 0,
-                  jnp.bool_(True)),
-    )
+    v0 = s.vel if frozen else None
+    w0 = s.angvel if frozen else None
+    HUGE = jnp.int32(2**30)
+    t1 = t1_us
 
     def seg(carry, x):
         act_i, acc_i, angvel_i, ball_i = x
-        t, pos, vel, att, angvel, cur, cov, lac = carry
+        t, has, a_cur, pos, vel, att, angvel, cur, cov, lac = carry
         cur_acc, cur_angvel, cur_ball = cur
-        boundary = jnp.clip(act_i, t, t1_us)
-        dt = (boundary - t).astype(jnp.float32) * 1e-6
+        remaining = jnp.maximum(t1 - t, 0)
+        window = jnp.where(has != 0, act_i - a_cur, HUGE)
+        dt_us = jnp.where(act_i <= t, 0, jnp.minimum(remaining, window))
+        dt = dt_us.astype(jnp.float32) * 1e-6
+        pos, vel, att, angvel = _integrate_segment(
+            pos, vel, att, angvel, cur_acc, cur_angvel, cur_ball, dt, v0, w0
+        )
         if update_cov:
+            # reference order: mean first, Jacobian from the NEW att/angvel
+            # (GPSStateEstimator.cpp:167-187 update _att/_angVel, then
+            # nomAcc/rotMat/f read the members)
             cov2 = _gps_cov_segment(cov, lac, att, angvel, cur_acc, dt)
             nz = dt > 0
             cov = jnp.where(nz, cov2, cov)
             lac = jnp.where(nz, jnp.zeros(3, jnp.float32), lac)
-        pos, vel, att, angvel = _integrate_segment(
-            pos, vel, att, angvel, cur_acc, cur_angvel, cur_ball, dt
-        )
-        switch = (act_i > t0_us) & (act_i <= t1_us)
+        t = t + dt_us
+        adopt = act_i <= t
         cur = (
-            jnp.where(switch, acc_i, cur_acc),
-            jnp.where(switch, angvel_i, cur_angvel),
-            jnp.where(switch, ball_i != 0, cur_ball),
+            jnp.where(adopt, acc_i, cur_acc),
+            jnp.where(adopt, angvel_i, cur_angvel),
+            jnp.where(adopt, ball_i != 0, cur_ball),
         )
-        return (boundary, pos, vel, att, angvel, cur, cov, lac), None
+        a_cur = jnp.where(adopt, act_i, a_cur)
+        has = jnp.maximum(has, adopt.astype(jnp.int32))
+        return (t, has, a_cur, pos, vel, att, angvel, cur, cov, lac), None
 
-    carry = (jnp.maximum(t0_us, 0).astype(jnp.int32), s.pos, s.vel, s.att, s.angvel,
-             cur, s.cov, s.last_att_corr)
+    cur = (jnp.zeros(3, jnp.float32), jnp.zeros(3, jnp.float32), jnp.bool_(True))
+    carry = (jnp.maximum(t0_us, 0).astype(jnp.int32), jnp.int32(0), jnp.int32(0),
+             s.pos, s.vel, s.att, s.angvel, cur, s.cov, s.last_att_corr)
     carry, _ = _sweep(seg, carry, (act, accs, angvels, balls))
-    t, pos, vel, att, angvel, cur, cov, lac = carry
+    t, _, _, pos, vel, att, angvel, cur, cov, lac = carry
     cur_acc, cur_angvel, cur_ball = cur
     dt = jnp.maximum(t1_us - t, 0).astype(jnp.float32) * 1e-6
+    pos, vel, att, angvel = _integrate_segment(
+        pos, vel, att, angvel, cur_acc, cur_angvel, cur_ball, dt, v0, w0
+    )
     if update_cov:
         cov2 = _gps_cov_segment(cov, lac, att, angvel, cur_acc, dt)
         nz = dt > 0
         cov = jnp.where(nz, cov2, cov)
         lac = jnp.where(nz, jnp.zeros(3, jnp.float32), lac)
-    pos, vel, att, angvel = _integrate_segment(
-        pos, vel, att, angvel, cur_acc, cur_angvel, cur_ball, dt
-    )
     return pos, vel, att, angvel, cov, lac
 
 
 def gps_get_prediction(s: GpsEstState, now_us, latency_us):
     t1 = now_us + latency_us
-    pos, vel, att, angvel, _, _ = _gps_replay(s, s.estimate_us, t1, update_cov=False)
+    pos, vel, att, angvel, _, _ = _gps_replay(s, s.estimate_us, t1,
+                                              update_cov=False, frozen=True)
     return pos, vel, att, angvel
 
 

@@ -49,15 +49,25 @@ class Lp2Coeffs(NamedTuple):
 
 
 def lp2_coeffs(sampling_period, cutoff_rad_s) -> Lp2Coeffs:
-    dt = float(sampling_period)
-    wc = float(cutoff_rad_s)
-    s2 = math.sqrt(2.0)
-    den = dt * dt * wc * wc + 2 * s2 * dt * wc + 4
-    a1 = (dt * dt * wc * wc - 2 * s2 * dt * wc + 4) / den
-    a2 = 2 * (dt * dt * wc * wc - 4) / den
+    # Bit-exact mirror of LowPassFilterSecondOrder<float,_>::Initialise
+    # (TYPE_RATE = float in the onboard stack): every intermediate product
+    # rounds to f32, and b2's left-to-right `2 * dt * dt * wc * wc`
+    # associates differently from `2 * (dt*dt*wc*wc)`. Computing in f64 and
+    # rounding once leaves the recursive filter ~2e-5 off the reference
+    # after a few hundred ticks (measured vs the C++ golden logicdbg dump).
+    import numpy as np
+
+    f = np.float32
+    dt = f(sampling_period)
+    wc = f(cutoff_rad_s)
+    s2 = f(math.sqrt(2.0))
+    two, four = f(2), f(4)
+    den = dt * dt * wc * wc + two * s2 * dt * wc + four
+    a1 = (dt * dt * wc * wc - two * s2 * dt * wc + four) / den
+    a2 = two * (dt * dt * wc * wc - four) / den
     b0 = dt * dt * wc * wc / den
     b1 = b0
-    b2 = 2 * dt * dt * wc * wc / den
+    b2 = two * dt * dt * wc * wc / den
     f = jnp.float32
     return Lp2Coeffs(f(a1), f(a2), f(b0), f(b1), f(b2))
 
@@ -68,8 +78,13 @@ def lp2_init(init_value) -> Lp2State:
 
 
 def lp2_apply(coeffs: Lp2Coeffs, state: Lp2State, x):
-    out = coeffs.b2 * x + coeffs.b0 * state.xm0 + coeffs.b1 * state.xm1
-    out = out - coeffs.a1 * state.ym0 - coeffs.a2 * state.ym1
+    # Same add-tree as the reference Apply (LowPassFilterSecondOrder.hpp:
+    # 54-58): b2*x, += (b0*xm0 + b1*xm1), += (-a1*ym0 - a2*ym1). A
+    # left-to-right chain rounds differently and the recursive feedback
+    # integrates the per-step ulp into a ~2e-5 quasi-steady offset
+    # (measured vs the C++ golden logicdbg dump).
+    out = coeffs.b2 * x + (coeffs.b0 * state.xm0 + coeffs.b1 * state.xm1)
+    out = out + (-(coeffs.a1 * state.ym0) - coeffs.a2 * state.ym1)
     new = Lp2State(xm0=state.xm1, xm1=x, ym0=state.ym1, ym1=out)
     return new, out
 

@@ -851,6 +851,20 @@ class PlanResult(NamedTuple):
     num_pyramids: jnp.ndarray
 
 
+def plan_debug(params: PlannerParams, depth_u16, key, vel0, acc0, grav,
+               goal_cam, n_candidates=512, pyramid_capacity=32, rounds=2,
+               inflation_downsample=1, cost_fn=None, lazy_rounds=1,
+               samples=None):
+    """plan() with per-candidate internals exposed: returns
+    (tr, cost, feas, vel_ok, gate, collision_free, pyrs). Supports explicit
+    candidate injection via samples=(px, py, depth, tf)."""
+    return _plan_core(
+        params, depth_u16, key, vel0, acc0, grav, goal_cam, n_candidates,
+        pyramid_capacity, rounds, inflation_downsample, cost_fn, lazy_rounds,
+        samples=samples,
+    )
+
+
 def plan(params: PlannerParams, depth_u16, key, vel0, acc0, grav, goal_cam,
          n_candidates=512, pyramid_capacity=32, rounds=2,
          inflation_downsample=1, cost_fn=None, lazy_rounds=1):
@@ -917,13 +931,39 @@ def _greedy_seed_dedupe(px, py, z, valid, tol_px, tol_z):
     return jax.lax.fori_loop(0, px.shape[0], body, valid)
 
 
+def candidates_from_samples(params: PlannerParams, px, py, depth, tf,
+                            vel0, acc0):
+    """Build the candidate set from explicit (pixel, depth, duration)
+    samples — the exact construction of sample_candidates (and of the
+    reference's GetNextCandidateTrajectory, hpp:393-404) minus the RNG.
+    Used by the C++-planner-oracle head-to-head harness to evaluate both
+    planners on an identical candidate list."""
+    n = px.shape[0]
+    goal = deproject(params.cam, jnp.asarray(px, jnp.float32),
+                     jnp.asarray(py, jnp.float32),
+                     jnp.asarray(depth, jnp.float32))
+    p0 = jnp.zeros((n, 3), jnp.float32)
+    v0 = jnp.broadcast_to(jnp.asarray(vel0, jnp.float32), (n, 3))
+    a0 = jnp.broadcast_to(jnp.asarray(acc0, jnp.float32), (n, 3))
+    zero = jnp.zeros((n, 3), jnp.float32)
+    return traj_mod.generate(p0, v0, a0, jnp.asarray(tf, jnp.float32),
+                             goal_pos=goal, goal_vel=zero, goal_acc=zero)
+
+
 def _plan_core(params, depth_u16, key, vel0, acc0, grav, goal_cam,
                n_candidates, pyramid_capacity, rounds, inflation_downsample,
-               cost_fn, lazy_rounds):
+               cost_fn, lazy_rounds, samples=None):
     """Shared planning pipeline: sample, gate, pyramid rounds (pre-planned
     + lazy on-demand), collision labels. Returns
-    (tr, cost, feas, vel_ok, gate, collision_free, pyrs)."""
-    tr = sample_candidates(params, key, n_candidates, vel0, acc0, grav)
+    (tr, cost, feas, vel_ok, gate, collision_free, pyrs).
+
+    samples: optional explicit (px, py, depth, tf) arrays overriding the
+    random sampler (candidate-injection for oracle comparisons)."""
+    if samples is not None:
+        tr = candidates_from_samples(params, *samples, vel0, acc0)
+        n_candidates = samples[0].shape[0]
+    else:
+        tr = sample_candidates(params, key, n_candidates, vel0, acc0, grav)
     if cost_fn is None:
         cost = exploration_cost(tr, jnp.asarray(goal_cam, jnp.float32))
     else:

@@ -1,12 +1,16 @@
 """Golden-trajectory regression: bit-stability of the fused sim across
 rounds of development.
 
-The reference's BASELINE asks for "bit-comparable trajectories vs the C++
-single-thread sim"; the C++ cannot be built in this image (no Eigen), so
-the anchor is a frozen golden trace of this framework's own CPU float32
+This pins a frozen golden trace of this framework's own CPU float32
 rollout (deterministic: fixed PRNG key, fixed cadences). Any future change
 that alters the physics, controllers, codecs, estimator, or timing
 semantics will show up as a diff here and must be justified.
+
+Comparison against the ACTUAL compiled reference C++ lives in
+test_golden_cpp.py (the reference builds in-image with the
+tensorflow-bundled Eigen and -std=c++17; see native/golden/). This
+self-golden complements it: it locks the framework's own fused-env
+composition, which the C++ loop arrangement doesn't cover.
 
 Regenerate with: python -m tests.test_golden  (after intentional changes)
 """
@@ -54,6 +58,9 @@ def test_golden_hover_trajectory():
 
 
 if __name__ == "__main__":
+    # the golden is pinned on the CPU backend (tests run there via conftest);
+    # regeneration must not pick up the ambient axon/TPU platform
+    jax.config.update("jax_platforms", "cpu")
     GOLDEN.parent.mkdir(exist_ok=True)
     data = _run_reference_rollout()
     np.savez_compressed(GOLDEN, **data)
