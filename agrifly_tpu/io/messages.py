@@ -301,5 +301,17 @@ class Image:
 
 
 def to_dict(msg):
-    """Recursively convert a message to plain python (JSON-able)."""
-    return dataclasses.asdict(msg)
+    """Recursively convert a message to plain python (JSON-able).
+
+    Hand-rolled instead of dataclasses.asdict(): asdict deep-copies every
+    leaf — including numpy scalars, each via __deepcopy__ — which made
+    serialization >50% of the recording surface's wall clock. Messages
+    are shallow trees (at most one nested Header/dataclass level), so a
+    field walk that leaves scalar/tuple leaves alone is exact."""
+    out = {}
+    for f in dataclasses.fields(msg):
+        v = getattr(msg, f.name)
+        if dataclasses.is_dataclass(v) and not isinstance(v, type):
+            v = to_dict(v)
+        out[f.name] = v
+    return out

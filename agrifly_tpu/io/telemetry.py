@@ -146,9 +146,14 @@ def wire_quantize_np(x, rng):
     messages from host-resident frame rows (one device transfer already
     paid) instead of dispatching the jitted codec per packet."""
     a, b = rng
+    # per-element ranges supported (the bridge quantizes a whole
+    # telemetry row's 26 values in ONE call); all arithmetic stays
+    # elementwise f32, so vector a/b is value-identical to scalar calls
+    a32 = np.asarray(a, np.float32)
+    span32 = (np.asarray(b, np.float64) - np.asarray(a, np.float64)) \
+        .astype(np.float32)  # == np.float32(b - a) elementwise
     x32 = np.asarray(x, np.float32)
-    t32 = ((x32 - np.float32(a)) / np.float32(b - a)) * np.float32(2.0) \
-        - np.float32(1.0)
+    t32 = ((x32 - a32) / span32) * np.float32(2.0) - np.float32(1.0)
     code = (32768.0 + 32767.0 * t32).astype(np.int32)
     code = np.where((t32 >= -1.0) & (t32 <= 1.0), code, 0)
     # de-normalize in f32 like the device decode path (_from_ones on f32)
@@ -158,8 +163,7 @@ def wire_quantize_np(x, rng):
     val = np.where(code == 0, np.float32(np.nan),
                    (code.astype(np.float32) - np.float32(32768.0))
                    / np.float32(32768.0)).astype(np.float32)
-    out = (((val + np.float32(1.0)) / np.float32(2.0))
-           * np.float32(b - a) + np.float32(a))
+    out = (((val + np.float32(1.0)) / np.float32(2.0)) * span32 + a32)
     return out.astype(np.float64)
 
 

@@ -15,9 +15,13 @@ the identical depth image rendered by the framework.
     python -m benchmarks.cpp_planner_oracle [--cpu] [--candidates N]
            [--image WxH] [--scenes K] [--budget]
 
---budget additionally runs the reference planner free-running at its own
-ROS-node budget (ExampleVehicleStateMachine.cpp:183: 15 ms) and reports
-chosen-cost quality vs the framework's fixed-batch plan on each scene.
+--budget additionally runs BOTH planners at the reference node's replan
+budget (ExampleVehicleStateMachine.cpp:183: 15 ms): the reference
+free-runs its anytime loop for 15 ms of wall clock; the framework runs
+floor(15 / 0.87) independent 512-candidate plans (0.87 ms/plan measured
+on the v5e, --fw-plan-ms to override) and keeps the best free candidate,
+GT-checked through the compiled reference oracle. Reports chosen-cost
+quality and GT soundness of both choices per scene.
 """
 
 from __future__ import annotations
@@ -169,6 +173,61 @@ def compare_on_scene(params, depth_u16, key, vel0, acc0, grav, goal_cam,
     return m
 
 
+def run_fw_budget(params, depth_u16, base_key, vel0, acc0, grav, goal_cam,
+                  n, k_plans, pyramid_capacity, radii, workdir):
+    """The framework at the SAME wall-clock budget as the reference node.
+
+    The reference replans at a 15 ms budget (ExampleVehicleStateMachine
+    .cpp:183); one framework plan() is 0.87 ms on the v5e (BENCH_DETAILS
+    "RAPPIDS plan()" row, lazy mode), so the equal-budget framework runs
+    k = floor(15/0.87) independent plans (fresh keys, fresh candidate
+    draws, fresh pyramid sets) and keeps the best free candidate overall.
+    Candidate counts are NOT matched to the C++ (it free-runs its anytime
+    loop); what is matched is wall-clock spend. The chosen trajectory is
+    then verified against the reference's own ray-tracing ground truth
+    via the compiled oracle."""
+    import jax
+    import jax.numpy as jnp
+
+    from agrifly_tpu.planner import rappids
+
+    cam = params.cam
+    best = dict(cost=np.inf, sample=None)
+    total_free = 0
+    for j in range(k_plans):
+        key = jax.random.PRNGKey(int(base_key) * 10007 + j)
+        samples = sample_explicit(key, n, int(cam.width), int(cam.height))
+        tr, cost, feas, vel_ok, gate, free, pyrs = rappids.plan_debug(
+            params, depth_u16, None, vel0, acc0, grav, goal_cam,
+            pyramid_capacity=pyramid_capacity,
+            samples=tuple(jnp.asarray(s) for s in samples))
+        cost = np.asarray(cost, np.float64)
+        ok = np.asarray(gate) & np.asarray(free)
+        total_free += int(ok.sum())
+        if ok.any():
+            i = int(np.argmin(np.where(ok, cost, np.inf)))
+            if cost[i] < best["cost"]:
+                best = dict(cost=float(cost[i]),
+                            sample=tuple(float(s[i]) for s in samples))
+    out = dict(found=int(best["sample"] is not None),
+               nplans=int(k_plans), ncand=int(k_plans * n),
+               n_free_total=total_free,
+               best_cost=best["cost"] if best["sample"] else float("nan"))
+    if best["sample"] is not None:
+        # GT-check the winner through the compiled reference oracle
+        px, py, depth, tf = best["sample"]
+        rec, _ = run_oracle_inject(
+            np.asarray(depth_u16, np.uint16), float(cam.depth_scale),
+            float(cam.focal), np.asarray(vel0, np.float64),
+            np.asarray(acc0, np.float64), np.asarray(grav, np.float64),
+            np.asarray(goal_cam, np.float64), radii,
+            ([px], [py], [depth], [tf]), workdir)
+        rec = np.atleast_1d(rec)
+        out["gt_free_best"] = int(rec["gt_free"][0])
+        out["cpp_cost_of_choice"] = float(rec["cost"][0])
+    return out
+
+
 def make_scenes(w, h, n_scenes):
     import jax
     import jax.numpy as jnp
@@ -199,6 +258,10 @@ def main(argv):
     img = argv[argv.index("--image") + 1] if "--image" in argv else "320x240"
     n_scenes = int(argv[argv.index("--scenes") + 1]) if "--scenes" in argv else 10
     do_budget = "--budget" in argv
+    # measured TPU v5e per-plan latency, lazy mode (BENCH_DETAILS
+    # "RAPPIDS plan()" row) — sets how many plans fit the 15 ms budget
+    fw_plan_ms = (float(argv[argv.index("--fw-plan-ms") + 1])
+                  if "--fw-plan-ms" in argv else 0.87)
     w, h = (int(x) for x in img.split("x"))
 
     import jax
@@ -228,6 +291,10 @@ def main(argv):
                     np.asarray(acc0, np.float64), np.asarray(grav, np.float64),
                     np.asarray(goal, np.float64), radii, 1000 + k, 0.015, td)
                 m["cpp_budget15ms"] = b
+                k_plans = max(1, int(15.0 / fw_plan_ms))
+                m["fw_budget15ms"] = run_fw_budget(
+                    params, depth, 1000 + k, vel0, acc0, grav, goal,
+                    512, k_plans, 32, radii, td)
             print(json.dumps({"scene": k, **m}))
             aggs.append(m)
 
@@ -235,6 +302,22 @@ def main(argv):
                  float(np.mean([a["label_agreement"] for a in aggs])), "frac")
     _util.report("cpp_oracle_fw_false_free",
                  int(np.sum([a["fw_false_free"] for a in aggs])), "count")
+    if do_budget:
+        fw = [a["fw_budget15ms"] for a in aggs]
+        cpp = [a["cpp_budget15ms"] for a in aggs]
+        print(json.dumps({
+            "budget_ms": 15.0,
+            "fw_found": int(np.sum([b["found"] for b in fw])),
+            "cpp_found": int(np.sum([b["found"] for b in cpp])),
+            "fw_gt_free": int(np.sum([b.get("gt_free_best", 0) for b in fw])),
+            "cpp_gt_free": int(np.sum([b.get("gt_free_best", 0) for b in cpp])),
+            "fw_mean_best_cost": float(np.mean(
+                [b["best_cost"] for b in fw if b["found"]])),
+            "cpp_mean_best_cost": float(np.mean(
+                [b["best_cost"] for b in cpp if b["found"]])),
+            "fw_ncand_mean": float(np.mean([b["ncand"] for b in fw])),
+            "cpp_ncand_mean": float(np.mean([b["ncand"] for b in cpp])),
+        }))
     print(json.dumps({
         "scenes": len(aggs),
         "feas_mismatch_total": int(np.sum([a["feas_mismatch"] for a in aggs])),

@@ -294,6 +294,41 @@ def test_orchard_bridge_wire_topics():
     assert int(ob.last_outs["flight_state"][-1]) == onboard.FS_KILLED
 
 
+def test_fly_frames_pipelined_matches_synced(tmp_path):
+    """fly_frames_pipelined publishes message-for-message what the synced
+    fly_frames_block loop publishes (same frames, same order, same
+    values) — the pipeline only reorders DEVICE work, never the topic
+    surface — and honors exact frame counts with a remainder block."""
+    from agrifly_tpu.io import bridge
+    from agrifly_tpu.sim import orchard_env
+
+    params = orchard_env.make_params(width=32, height=24, n_candidates=8,
+                                     use_pallas=False)
+
+    def record(fly):
+        ob = bridge.OrchardBridge(params, vehicle_id=1, seed=3,
+                                  publish_images=False)
+        path = tmp_path / f"{fly}.bag"
+        rec = bridge.MessageRecorder(ob.bus, str(path))
+        if fly == "synced":
+            done = 0
+            while done < 22:
+                b = min(8, 22 - done)
+                ob.fly_frames_block(b)
+                done += b
+        else:
+            blocks = []
+            done = ob.fly_frames_pipelined(
+                22, 8, lambda outs, d: blocks.append(d))
+            assert done == 22
+            assert blocks == [8, 16, 22]
+        rec.close()
+        assert ob.frame_count == 22
+        return path.read_text()
+
+    assert record("synced") == record("pipelined")
+
+
 @pytest.mark.slow
 def test_orchard_bridge_image_topics(tmp_path):
     """depthImage/rgbImage publication at the frame cadence with correct
