@@ -174,18 +174,20 @@ def compare_on_scene(params, depth_u16, key, vel0, acc0, grav, goal_cam,
 
 
 def run_fw_budget(params, depth_u16, base_key, vel0, acc0, grav, goal_cam,
-                  n, k_plans, pyramid_capacity, radii, workdir):
+                  n, k_plans, pyramid_capacity, radii, workdir,
+                  downsample=2):
     """The framework at the SAME wall-clock budget as the reference node.
 
     The reference replans at a 15 ms budget (ExampleVehicleStateMachine
-    .cpp:183); one framework plan() is 0.87 ms on the v5e (BENCH_DETAILS
-    "RAPPIDS plan()" row, lazy mode), so the equal-budget framework runs
-    k = floor(15/0.87) independent plans (fresh keys, fresh candidate
-    draws, fresh pyramid sets) and keeps the best free candidate overall.
-    Candidate counts are NOT matched to the C++ (it free-runs its anytime
-    loop); what is matched is wall-clock spend. The chosen trajectory is
-    then verified against the reference's own ray-tracing ground truth
-    via the compiled oracle."""
+    .cpp:183). The framework spends the budget on k independent
+    wide-batch plans (fresh keys, fresh candidate draws, fresh pyramid
+    sets) and keeps the best free candidate overall; the default config
+    (n=4096, 96 pyramids, downsample 2, lazy 1) measures 4.67 ms/plan on
+    the v5e at this 320x240 scene shape -> k=3, 12288 candidates per
+    budget. Candidate counts are NOT matched to the C++ (it free-runs
+    its anytime loop); what is matched is wall-clock spend. The chosen
+    trajectory is then verified against the reference's own ray-tracing
+    ground truth via the compiled oracle."""
     import jax
     import jax.numpy as jnp
 
@@ -200,6 +202,7 @@ def run_fw_budget(params, depth_u16, base_key, vel0, acc0, grav, goal_cam,
         tr, cost, feas, vel_ok, gate, free, pyrs = rappids.plan_debug(
             params, depth_u16, None, vel0, acc0, grav, goal_cam,
             pyramid_capacity=pyramid_capacity,
+            inflation_downsample=downsample,
             samples=tuple(jnp.asarray(s) for s in samples))
         cost = np.asarray(cost, np.float64)
         ok = np.asarray(gate) & np.asarray(free)
@@ -257,11 +260,16 @@ def main(argv):
     n_cand = int(argv[argv.index("--candidates") + 1]) if "--candidates" in argv else 256
     img = argv[argv.index("--image") + 1] if "--image" in argv else "320x240"
     n_scenes = int(argv[argv.index("--scenes") + 1]) if "--scenes" in argv else 10
+    # resume support: skip the first K scenes (scene generation is
+    # deterministic, so slicing preserves per-scene identity)
+    scene_start = int(argv[argv.index("--scene-start") + 1]) \
+        if "--scene-start" in argv else 0
     do_budget = "--budget" in argv
-    # measured TPU v5e per-plan latency, lazy mode (BENCH_DETAILS
-    # "RAPPIDS plan()" row) — sets how many plans fit the 15 ms budget
+    # measured TPU v5e per-plan latency of the budget-mode config
+    # (n=4096/cap 96/ds2/lazy1 at 320x240) — sets how many plans fit
+    # the 15 ms budget
     fw_plan_ms = (float(argv[argv.index("--fw-plan-ms") + 1])
-                  if "--fw-plan-ms" in argv else 0.87)
+                  if "--fw-plan-ms" in argv else 4.67)
     w, h = (int(x) for x in img.split("x"))
 
     import jax
@@ -270,7 +278,7 @@ def main(argv):
     from agrifly_tpu.planner import rappids
 
     radii = (0.116, 0.174, 0.5)
-    scenes = make_scenes(w, h, n_scenes)
+    scenes = make_scenes(w, h, n_scenes)[scene_start:]
     vel0 = jnp.array([0.0, 0.0, 1.5], jnp.float32)
     acc0 = jnp.zeros(3, jnp.float32)
     grav = jnp.array([0.0, 9.81, 0.0], jnp.float32)
@@ -278,7 +286,7 @@ def main(argv):
 
     aggs = []
     with tempfile.TemporaryDirectory() as td:
-        for k, (cam, depth) in enumerate(scenes):
+        for k, (cam, depth) in enumerate(scenes, start=scene_start):
             params = rappids.make_params(cam, true_radius=radii[0],
                                          plan_radius=radii[1],
                                          min_check_dist=radii[2])
@@ -294,7 +302,7 @@ def main(argv):
                 k_plans = max(1, int(15.0 / fw_plan_ms))
                 m["fw_budget15ms"] = run_fw_budget(
                     params, depth, 1000 + k, vel0, acc0, grav, goal,
-                    512, k_plans, 32, radii, td)
+                    4096, k_plans, 96, radii, td)
             print(json.dumps({"scene": k, **m}))
             aggs.append(m)
 
