@@ -87,6 +87,34 @@ def test_build_pyramid_set_pallas_parity():
         pi.inflate_pyramids = orig
 
 
+@pytest.mark.parametrize("P,S", [(24, 2), (24, 4), (13, 4), (5, 2)])
+def test_grouped_kernel_parity(P, S):
+    """S co-resident seeds per grid program (_kernel_grouped) are
+    bit-identical to the per-seed kernel, including ragged P (padding
+    seeds are ok-cleared copies of row 0 and must never un-skip a
+    tile or leak into the sliced outputs)."""
+    W, H = 160, 120
+    cam = rappids.make_camera(W, H, focal=W / 2.0)
+    params = rappids.make_params(cam, 0.116, 0.174)
+    img = make_scene(W, H, 8, seed=3)
+    x0 = jax.random.randint(jax.random.PRNGKey(P), (P,), 2, W - 2)
+    y0 = jax.random.randint(jax.random.PRNGKey(P + 1), (P,), 2, H - 2)
+    md = jax.random.uniform(jax.random.PRNGKey(P + 2), (P,), jnp.float32,
+                            1.5, 3.0)
+    for shrink_extra in (0, 1):
+        ok1, maxd1, e1 = pallas_inflate.inflate_pyramids(
+            params, img, x0, y0, md, shrink_extra, interpret=True)
+        ok2, maxd2, e2 = pallas_inflate.inflate_pyramids(
+            params, img, x0, y0, md, shrink_extra, interpret=True,
+            seeds_per_program=S)
+        o = np.asarray(ok1)
+        np.testing.assert_array_equal(o, np.asarray(ok2))
+        np.testing.assert_array_equal(np.asarray(maxd1)[o],
+                                      np.asarray(maxd2)[o])
+        np.testing.assert_array_equal(np.asarray(e1)[o], np.asarray(e2)[o])
+    assert o.sum() >= 1
+
+
 @pytest.mark.parametrize("tile_h,tile_w", [(8, None), (24, 16), (40, 40),
                                            (120, 32), (24, 160)])
 def test_tile_shape_invariance(tile_h, tile_w):
