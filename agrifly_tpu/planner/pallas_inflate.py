@@ -557,7 +557,7 @@ def _kernel(seed_ref, tables_ref, img_ref, shrink_ref, out_ref, *, W, H,
 
 
 def _kernel_grouped(seed_ref, tables_ref, img_ref, shrink_ref, out_ref, *,
-                    W, H, TH, TW, S):
+                    W, H, TH, TW, S, seed_gate=True):
     """S co-resident seeds per grid program (round-5, VERDICT #3).
 
     Passes A / expansion / B are inherently per-seed (data-dependent
@@ -854,32 +854,46 @@ def _kernel_grouped(seed_ref, tables_ref, img_ref, shrink_ref, out_ref, *,
         valid = img > ignore
         out = []
         for s in range(S):
-            x0, y0, minpyr, ok, l, r, t, b, maxd = seeds[s]
-            (re_, rhi, rlo, rfl, le_, lhi, llo, lfl,
-             te_, thi, tlo, tfl, be_, bhi, blo, bfl) = acc[16 * s:16 * s + 16]
-            relevant = valid & (img < maxd)
-            band = relevant & (xs >= r) & (ys >= t) & (ys <= b)
-            e, h, lo_, f = band_tile(band, s_right, s_top, s_bottom,
-                                     x0, y0, True)
-            re_, rhi = jnp.minimum(re_, e), jnp.maximum(rhi, h)
-            rlo, rfl = jnp.minimum(rlo, lo_), rfl | f
-            band = relevant & (xs <= l) & (ys >= t) & (ys <= b)
-            e, h, lo_, f = band_tile(band, s_left, s_top, s_bottom,
-                                     x0, y0, False)
-            le_, lhi = jnp.maximum(le_, e), jnp.maximum(lhi, h)
-            llo, lfl = jnp.minimum(llo, lo_), lfl | f
-            band = relevant & (ys <= t) & (xs >= l) & (xs <= r)
-            e, h, lo_, f = band_tile(band, s_top, s_left, s_right,
-                                     y0, x0, False)
-            te_, thi = jnp.maximum(te_, e), jnp.maximum(thi, h)
-            tlo, tfl = jnp.minimum(tlo, lo_), tfl | f
-            band = relevant & (ys >= b) & (xs >= l) & (xs <= r)
-            e, h, lo_, f = band_tile(band, s_bottom, s_left, s_right,
-                                     y0, x0, True)
-            be_, bhi = jnp.minimum(be_, e), jnp.maximum(bhi, h)
-            blo, bfl = jnp.minimum(blo, lo_), bfl | f
-            out += [re_, rhi, rlo, rfl, le_, lhi, llo, lfl,
-                    te_, thi, tlo, tfl, be_, bhi, blo, bfl]
+            acc16 = tuple(acc[16 * s:16 * s + 16])
+
+            def compute(a, sd=seeds[s]):
+                x0, y0, minpyr, ok, l, r, t, b, maxd = sd
+                (re_, rhi, rlo, rfl, le_, lhi, llo, lfl,
+                 te_, thi, tlo, tfl, be_, bhi, blo, bfl) = a
+                relevant = valid & (img < maxd)
+                band = relevant & (xs >= r) & (ys >= t) & (ys <= b)
+                e, h, lo_, f = band_tile(band, s_right, s_top, s_bottom,
+                                         x0, y0, True)
+                re_, rhi = jnp.minimum(re_, e), jnp.maximum(rhi, h)
+                rlo, rfl = jnp.minimum(rlo, lo_), rfl | f
+                band = relevant & (xs <= l) & (ys >= t) & (ys <= b)
+                e, h, lo_, f = band_tile(band, s_left, s_top, s_bottom,
+                                         x0, y0, False)
+                le_, lhi = jnp.maximum(le_, e), jnp.maximum(lhi, h)
+                llo, lfl = jnp.minimum(llo, lo_), lfl | f
+                band = relevant & (ys <= t) & (xs >= l) & (xs <= r)
+                e, h, lo_, f = band_tile(band, s_top, s_left, s_right,
+                                         y0, x0, False)
+                te_, thi = jnp.maximum(te_, e), jnp.maximum(thi, h)
+                tlo, tfl = jnp.minimum(tlo, lo_), tfl | f
+                band = relevant & (ys >= b) & (xs >= l) & (xs <= r)
+                e, h, lo_, f = band_tile(band, s_bottom, s_left, s_right,
+                                         y0, x0, True)
+                be_, bhi = jnp.minimum(be_, e), jnp.maximum(bhi, h)
+                blo, bfl = jnp.minimum(blo, lo_), bfl | f
+                return (re_, rhi, rlo, rfl, le_, lhi, llo, lfl,
+                        te_, thi, tlo, tfl, be_, bhi, blo, bfl)
+
+            if seed_gate:
+                # seeds irrelevant in THIS tile pay one scalar predicate
+                # instead of 4 bands of vector math (identity-contribution
+                # argument as skipC, so still bit-exact)
+                new16 = jax.lax.cond(
+                    c_irrelevant(ti, tj, seeds[s]), lambda a: a, compute,
+                    acc16)
+            else:
+                new16 = compute(acc16)
+            out += list(new16)
         return tuple(out)
 
     c_init = tuple(
@@ -963,48 +977,59 @@ def _kernel_grouped(seed_ref, tables_ref, img_ref, shrink_ref, out_ref, *,
         valid = img > ignore
         out = []
         for s in range(S):
-            x0, y0, minpyr, ok, l, r, t, b, maxd = seeds[s]
-            right_f, top_f, left_f, bottom_f = edges[s]
-            h_span, w_span = spans[s]
-            (tr_r, tr_t, tr_f, tl_l, tl_t, tl_f,
-             br_r, br_b, br_f, bl_l, bl_b, bl_f) = acc[12 * s:12 * s + 12]
-            relevant = valid & (img < maxd)
-            band = (relevant & (xs >= r) & (ys <= t)
-                    & (s_right < right_f) & (s_top > top_f))
-            a, bv, f = corner_tile(
-                band, s_right, True, x0 < s_right - PIXEL_BUFFER,
-                s_top, False, y0 > s_top + PIXEL_BUFFER,
-                (right_f - s_right) * h_span, (s_top - top_f) * w_span)
-            tr_r, tr_t, tr_f = (jnp.minimum(tr_r, a),
-                                jnp.maximum(tr_t, bv), tr_f | f)
-            band = (relevant & (xs <= l) & (ys <= t)
-                    & (s_left > left_f) & (s_top > top_f))
-            a, bv, f = corner_tile(
-                band, s_left, False, x0 > s_left + PIXEL_BUFFER,
-                s_top, False, y0 > s_top + PIXEL_BUFFER,
-                (s_left - left_f) * h_span, (s_top - top_f) * w_span)
-            tl_l, tl_t, tl_f = (jnp.maximum(tl_l, a),
-                                jnp.maximum(tl_t, bv), tl_f | f)
-            band = (relevant & (xs >= r) & (ys >= b)
-                    & (s_right < right_f) & (s_bottom < bottom_f))
-            a, bv, f = corner_tile(
-                band, s_right, True, x0 < s_right - PIXEL_BUFFER,
-                s_bottom, True, y0 < s_bottom - PIXEL_BUFFER,
-                (right_f - s_right) * h_span,
-                (bottom_f - s_bottom) * w_span)
-            br_r, br_b, br_f = (jnp.minimum(br_r, a),
-                                jnp.minimum(br_b, bv), br_f | f)
-            band = (relevant & (xs <= l) & (ys >= b)
-                    & (s_left > left_f) & (s_bottom < bottom_f))
-            a, bv, f = corner_tile(
-                band, s_left, False, x0 > s_left + PIXEL_BUFFER,
-                s_bottom, True, y0 < s_bottom - PIXEL_BUFFER,
-                (s_left - left_f) * h_span,
-                (bottom_f - s_bottom) * w_span)
-            bl_l, bl_b, bl_f = (jnp.maximum(bl_l, a),
-                                jnp.minimum(bl_b, bv), bl_f | f)
-            out += [tr_r, tr_t, tr_f, tl_l, tl_t, tl_f,
-                    br_r, br_b, br_f, bl_l, bl_b, bl_f]
+            acc12 = tuple(acc[12 * s:12 * s + 12])
+
+            def compute(a, sd=seeds[s], eg=edges[s], sp=spans[s]):
+                x0, y0, minpyr, ok, l, r, t, b, maxd = sd
+                right_f, top_f, left_f, bottom_f = eg
+                h_span, w_span = sp
+                (tr_r, tr_t, tr_f, tl_l, tl_t, tl_f,
+                 br_r, br_b, br_f, bl_l, bl_b, bl_f) = a
+                relevant = valid & (img < maxd)
+                band = (relevant & (xs >= r) & (ys <= t)
+                        & (s_right < right_f) & (s_top > top_f))
+                av, bv, f = corner_tile(
+                    band, s_right, True, x0 < s_right - PIXEL_BUFFER,
+                    s_top, False, y0 > s_top + PIXEL_BUFFER,
+                    (right_f - s_right) * h_span, (s_top - top_f) * w_span)
+                tr_r, tr_t, tr_f = (jnp.minimum(tr_r, av),
+                                    jnp.maximum(tr_t, bv), tr_f | f)
+                band = (relevant & (xs <= l) & (ys <= t)
+                        & (s_left > left_f) & (s_top > top_f))
+                av, bv, f = corner_tile(
+                    band, s_left, False, x0 > s_left + PIXEL_BUFFER,
+                    s_top, False, y0 > s_top + PIXEL_BUFFER,
+                    (s_left - left_f) * h_span, (s_top - top_f) * w_span)
+                tl_l, tl_t, tl_f = (jnp.maximum(tl_l, av),
+                                    jnp.maximum(tl_t, bv), tl_f | f)
+                band = (relevant & (xs >= r) & (ys >= b)
+                        & (s_right < right_f) & (s_bottom < bottom_f))
+                av, bv, f = corner_tile(
+                    band, s_right, True, x0 < s_right - PIXEL_BUFFER,
+                    s_bottom, True, y0 < s_bottom - PIXEL_BUFFER,
+                    (right_f - s_right) * h_span,
+                    (bottom_f - s_bottom) * w_span)
+                br_r, br_b, br_f = (jnp.minimum(br_r, av),
+                                    jnp.minimum(br_b, bv), br_f | f)
+                band = (relevant & (xs <= l) & (ys >= b)
+                        & (s_left > left_f) & (s_bottom < bottom_f))
+                av, bv, f = corner_tile(
+                    band, s_left, False, x0 > s_left + PIXEL_BUFFER,
+                    s_bottom, True, y0 < s_bottom - PIXEL_BUFFER,
+                    (s_left - left_f) * h_span,
+                    (bottom_f - s_bottom) * w_span)
+                bl_l, bl_b, bl_f = (jnp.maximum(bl_l, av),
+                                    jnp.minimum(bl_b, bv), bl_f | f)
+                return (tr_r, tr_t, tr_f, tl_l, tl_t, tl_f,
+                        br_r, br_b, br_f, bl_l, bl_b, bl_f)
+
+            if seed_gate:
+                new12 = jax.lax.cond(
+                    d_irrelevant(ti, tj, seeds[s], edges[s]),
+                    lambda a: a, compute, acc12)
+            else:
+                new12 = compute(acc12)
+            out += list(new12)
         return tuple(out)
 
     d_init = tuple(
@@ -1038,6 +1063,7 @@ def inflate_pyramids(params, depth_u16, x0s, y0s, min_depths,
                      shrink_extra: int = 0, interpret: bool = False,
                      tile_h: int | None = None, tile_w: int | None = None,
                      seeds_per_program: int | None = None,
+                     _grouped_seed_gate: bool = True,
                      _skip_passes: frozenset = frozenset()):
     """Batched pyramid inflation on TPU. Same contract as
     jax.vmap(rappids.inflate_pyramid) restricted to its integer stage:
@@ -1137,7 +1163,7 @@ def inflate_pyramids(params, depth_u16, x0s, y0s, min_depths,
             pad = jnp.tile(seeds[:1], (Ppad - P, 1)).at[:, 7].set(0)
             seeds = jnp.concatenate([seeds, pad], axis=0)
         kernel = functools.partial(_kernel_grouped, W=W, H=H, TH=TH, TW=TW,
-                                   S=S)
+                                   S=S, seed_gate=bool(_grouped_seed_gate))
         grid = (Ppad // S,)
         n_out = Ppad
     else:
